@@ -1,0 +1,20 @@
+"""EggFusion-TPU: a TPU-native real-time RGB-D dense SLAM / 3D reconstruction framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of EGG-Fusion
+("Efficient 3D Reconstruction with Geometry-aware Gaussian Surfel on the Fly",
+reference: panxkun/eggfusion). The compute path is pure JAX (jit/XLA + Pallas
+TPU kernels); the host side is a thin driver with threaded prefetch.
+
+Layer map (mirrors reference /root/reference SURVEY.md §1, redesigned TPU-first):
+  CLI / entry            eggfusion_tpu.main
+  System orchestration   eggfusion_tpu.system.EGGFusion
+  Tracking               eggfusion_tpu.core.tracker (jitted pyramid Gauss-Newton)
+  Mapping                eggfusion_tpu.core.mapper / core.surfels / core.renderer
+  Frame / pyramid        eggfusion_tpu.core.frame / ops.pyramid
+  Data                   eggfusion_tpu.data (TUM/Replica/ScanNet++/Azure/synthetic)
+  Math / eval            eggfusion_tpu.geometry, eggfusion_tpu.utils.eval
+  Kernels                eggfusion_tpu.ops (XLA + Pallas TPU kernels)
+  Multi-chip             eggfusion_tpu.parallel (mesh / pjit shardings)
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,175 @@
+"""Frame-to-model dense camera tracking.
+
+TPU-native equivalent of the reference `src/core/tracker.py`: coarse-to-fine
+pyramid Gauss-Newton over point-to-plane ICP + weighted photometric terms,
+with the reference's convergence/fallback contract (`tracker.py:153-170`):
+the dense result is committed only if ANY iteration converged; otherwise the
+pose falls back to the seed delta (sparse init or identity).
+
+Design (TPU-first): the whole coarse-to-fine optimization is ONE jitted XLA
+program (`dense_track`) — a Python-unrolled loop over the (static) pyramid
+levels with a `lax.fori_loop` over the per-level iterations, replacing the
+reference's host loop that re-launches kernels and round-trips a 6x6 solve
+through CPU Eigen every iteration (`tracker.py:156-165`, `tracking.cu:929`).
+Only two scalars (converged flag) leave the device per frame.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from eggfusion_tpu.geometry import lie
+from eggfusion_tpu.ops import reduce as gn
+from eggfusion_tpu.ops.pyramid import Pyramid
+
+
+class TrackerConfig(NamedTuple):
+    """Hashable (jit-static) tracking configuration.
+
+    Field semantics match the reference config section `Tracking:`
+    (`configs/replica/base.yaml:24-41`).
+    """
+
+    pyramid_level: int = 3
+    pyramid_iters: Tuple[int, ...] = (3, 3, 3)
+    angle_threshold: float = 20.0  # degrees
+    distance_threshold: float = 0.1
+    residual_thres: float = 0.01
+    dx_threshold: float = 0.001
+    use_rgb: bool = True
+    rgb_weight: float = 1e-4
+    lm_damping: float = 1e-6
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def dense_track(
+    pyr_model: Pyramid,
+    pyr_frame: Pyramid,
+    init_delta: jnp.ndarray,
+    cfg: TrackerConfig,
+):
+    """Run the full coarse-to-fine GN optimization.
+
+    Args:
+      pyr_model: pyramid of the rendered model view (previous pose frame).
+      pyr_frame: pyramid of the current camera frame.
+      init_delta: (4, 4) initial delta transform (sparse seed or identity).
+      cfg: static tracker configuration.
+
+    Returns:
+      (delta (4, 4), converged (bool), residual (f32), valid_count (f32)).
+      Level order matches the reference (`tracker.py:156-158`): coarse
+      (level = pyramid_level-1) to fine (level = 0).
+    """
+    delta = init_delta
+    converged = jnp.asarray(False)
+    last_res = jnp.asarray(jnp.inf, jnp.float32)
+    last_n = jnp.asarray(0.0, jnp.float32)
+
+    for l in range(cfg.pyramid_level):
+        level = cfg.pyramid_level - 1 - l
+        model_lvl = pyr_model[level]
+        frame_lvl = pyr_frame[level]
+
+        def body(_, carry, model_lvl=model_lvl, frame_lvl=frame_lvl):
+            T, conv, _, _ = carry
+            A, b, n = gn.build_normal_equations(
+                model_lvl,
+                frame_lvl,
+                T,
+                cfg.angle_threshold,
+                cfg.distance_threshold,
+                cfg.use_rgb,
+                cfg.rgb_weight,
+            )
+            dx = gn.solve_gn(A, b, cfg.lm_damping)
+            T_new = lie.update_transform(T, dx)
+            residual_est = jnp.linalg.norm(b) / jnp.sqrt(jnp.maximum(1.0, n))
+            conv_i = (residual_est < cfg.residual_thres) & (jnp.linalg.norm(dx) < cfg.dx_threshold)
+            return T_new, conv | conv_i, residual_est, n
+
+        delta, converged, last_res, last_n = jax.lax.fori_loop(
+            0, cfg.pyramid_iters[l], body, (delta, converged, last_res, last_n)
+        )
+
+    return delta, converged, last_res, last_n
+
+
+class Tracker:
+    """Host-side tracking orchestrator (reference `Tracker`, `tracker.py:48`).
+
+    Keeps the reference's contract:
+      * frame 0 and `only_mapping` mode take the GT pose (`tracker.py:183-190`)
+      * dense result committed only on convergence, else the seed delta
+        (`tracker.py:167-170`)
+      * optional sparse initializer seeds the delta (`tracker.py:147-149`);
+        here a constant-velocity motion model or the native feature frontend
+        (`eggfusion_tpu.data.sparse_frontend`) replaces ORB-SLAM2.
+    """
+
+    def __init__(self, cfg):
+        t = cfg.Tracking
+        self.config = TrackerConfig(
+            pyramid_level=int(t.pyramid_level),
+            pyramid_iters=tuple(int(i) for i in t.pyramid_iters),
+            angle_threshold=float(t.angle_threshold),
+            distance_threshold=float(t.distance_threshold),
+            residual_thres=float(t.residual_thres),
+            dx_threshold=float(t.dx_threshold),
+            use_rgb=bool(t.use_rgb),
+            rgb_weight=float(t.rgb_weight),
+        )
+        self.only_mapping = bool(cfg.System.only_mapping)
+        self.use_sparse = bool(t.get("use_sparse", False))
+        self.use_motion_model = bool(t.get("use_motion_model", True))
+        self.initialized = False
+        self._prev_w2c = None
+        self._prev_prev_w2c = None
+        self._sparse = None
+        if self.use_sparse:
+            from eggfusion_tpu.core.sparse_init import SparseInitializer
+
+            self._sparse = SparseInitializer(cfg)
+
+    def _seed_delta(self, frame, prev_transform):
+        """Initial delta: sparse frontend if enabled, else constant-velocity."""
+        if self._sparse is not None:
+            seed = self._sparse.track(frame)
+            if seed is not None:
+                frame.sparse_tracking = True
+                return jnp.asarray(seed, jnp.float32) @ lie.invert_se3(prev_transform)
+        if self.use_motion_model and self._prev_prev_w2c is not None:
+            # delta that maps prev pose to an extrapolated pose:
+            # T_pred = (T_{k-1} T_{k-2}^{-1}) T_{k-1}; delta = T_pred T_{k-1}^{-1}
+            return self._prev_w2c @ lie.invert_se3(self._prev_prev_w2c)
+        return jnp.eye(4, dtype=jnp.float32)
+
+    def tracking(self, frame, model_map) -> None:
+        """Main tracking entry (reference `tracker.py:175-192`)."""
+        if self.only_mapping or not self.initialized:
+            self.initialized = True
+            frame.update_transform(frame.cam_R_gt, frame.cam_t_gt)
+            if self._sparse is not None:
+                self._sparse.track(frame)  # keep the frontend's state warm
+            self._push_pose(frame.w2c_matrix())
+            return
+
+        prev_transform = model_map["transform"]
+        seed_delta = self._seed_delta(frame, prev_transform)
+
+        pyr_model = model_map["pyramid"]
+        delta, converged, _, _ = dense_track(pyr_model, frame.pyramid, seed_delta, self.config)
+
+        if bool(converged):
+            curr = delta @ prev_transform
+        else:
+            curr = seed_delta @ prev_transform
+        frame.update_transform(curr[:3, :3], curr[:3, 3])
+        self._push_pose(curr)
+
+    def _push_pose(self, w2c):
+        self._prev_prev_w2c = self._prev_w2c
+        self._prev_w2c = jnp.asarray(w2c, jnp.float32)
