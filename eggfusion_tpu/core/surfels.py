@@ -1,0 +1,248 @@
+"""Gaussian-surfel map: a static-capacity structure-of-arrays pytree.
+
+TPU-native redesign of the reference `GaussianSurfels`
+(`/root/reference/src/core/gaussian_surfels.py`). The reference grows tensors
+with `torch.cat` per frame (`gaussian_surfels.py:152-167`) — anathema to XLA's
+static-shape compilation model. Here the map is a **fixed-capacity SoA with an
+active mask and an append watermark**: spawning scatters into free slots,
+deletion clears the active mask, and every per-frame program compiles exactly
+once.
+
+Field inventory matches the reference SoA (`gaussian_surfels.py:17-32`):
+optimizable (xyz, features_dc, features_rest, scaling, rotation, opacity) +
+probabilistic fusion state (eta, sigma2, observe_count, tic, error_count,
+inview/surface/stable masks). `confidence` is derived: sum(1/sigma2)
+(`gaussian_surfels.py:423-425`).
+
+Activations (`gaussian_surfels.py:48-55`): exp scaling, sigmoid opacity,
+normalized quaternion. A surfel is a degenerate Gaussian: the 3rd log-scale is
+pinned to a large negative value (`:186`), the quaternion rotates +z onto the
+normal (`:188-189`), so the normal is the min-scale axis column of R
+(`:380-391`).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from eggfusion_tpu.geometry import sh as shlib
+from eggfusion_tpu.geometry import transforms as tf
+
+# exp(-30) ~ 1e-13: numerically zero thickness but finite in f32 autodiff
+# (the reference's -1e10 underflows activations/gradients to 0/NaN in f32).
+FLAT_LOG_SCALE = -30.0
+
+
+class SurfelConfig(NamedTuple):
+    """Static (hashable) surfel configuration — reference `Surfel:` section
+    (`configs/replica/base.yaml:85-96`)."""
+
+    capacity: int = 1_000_000
+    max_sh_degree: int = 3
+    active_sh_degree: int = 3
+    init_opacity: float = 0.99
+    alpha_p: float = 1.0
+    alpha_n: float = 0.5
+    stable_confidence: float = 10.0  # reference `mapper.py:332`
+
+
+@struct.dataclass
+class SurfelMap:
+    """Fixed-capacity surfel SoA. All arrays have leading dim = capacity."""
+
+    xyz: jnp.ndarray  # (C, 3) world position
+    features_dc: jnp.ndarray  # (C, 1, 3) SH DC
+    features_rest: jnp.ndarray  # (C, R, 3) higher SH, R = (deg+1)^2 - 1
+    scaling: jnp.ndarray  # (C, 3) log-scale; [:, 2] pinned flat
+    rotation: jnp.ndarray  # (C, 4) unnormalized quaternion wxyz
+    opacity: jnp.ndarray  # (C, 1) logit opacity
+    eta: jnp.ndarray  # (C, 6) information vector [pos*lam_p, normal*lam_n]
+    sigma2: jnp.ndarray  # (C, 2) variances [sigma2_p, sigma2_n]
+    observe_count: jnp.ndarray  # (C,) i32
+    tic: jnp.ndarray  # (C,) i32 creation time
+    error_count: jnp.ndarray  # (C,) i32
+    inview: jnp.ndarray  # (C,) bool
+    surface: jnp.ndarray  # (C,) bool
+    stable: jnp.ndarray  # (C,) bool
+    active: jnp.ndarray  # (C,) bool allocated & alive
+    count: jnp.ndarray  # () i32 append watermark
+
+    # ---- construction -------------------------------------------------------
+
+    @staticmethod
+    def empty(cfg: SurfelConfig) -> "SurfelMap":
+        C = cfg.capacity
+        R = (cfg.max_sh_degree + 1) ** 2 - 1
+        f = jnp.float32
+        return SurfelMap(
+            xyz=jnp.zeros((C, 3), f),
+            features_dc=jnp.zeros((C, 1, 3), f),
+            features_rest=jnp.zeros((C, R, 3), f),
+            scaling=jnp.full((C, 3), FLAT_LOG_SCALE, f),
+            rotation=jnp.zeros((C, 4), f).at[:, 0].set(1.0),
+            opacity=jnp.zeros((C, 1), f),
+            eta=jnp.zeros((C, 6), f),
+            sigma2=jnp.ones((C, 2), f),
+            observe_count=jnp.zeros((C,), jnp.int32),
+            tic=jnp.zeros((C,), jnp.int32),
+            error_count=jnp.zeros((C,), jnp.int32),
+            inview=jnp.zeros((C,), bool),
+            surface=jnp.zeros((C,), bool),
+            stable=jnp.zeros((C,), bool),
+            active=jnp.zeros((C,), bool),
+            count=jnp.zeros((), jnp.int32),
+        )
+
+    # ---- derived quantities (activations) -----------------------------------
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    def get_scaling(self) -> jnp.ndarray:
+        return jnp.exp(self.scaling)
+
+    def get_opacity(self) -> jnp.ndarray:
+        return jax.nn.sigmoid(self.opacity)
+
+    def get_rotation(self) -> jnp.ndarray:
+        return self.rotation / (jnp.linalg.norm(self.rotation, axis=-1, keepdims=True) + 1e-12)
+
+    def get_R(self) -> jnp.ndarray:
+        return tf.build_rotation(self.rotation)
+
+    def get_normal(self) -> jnp.ndarray:
+        """Column of R at the min-scale axis (reference `:380-391`)."""
+        R = self.get_R()
+        idx = jnp.argmin(self.get_scaling(), axis=-1)
+        normal = jnp.take_along_axis(jnp.swapaxes(R, -2, -1), idx[:, None, None], axis=1)[:, 0, :]
+        return normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-8)
+
+    def get_features(self) -> jnp.ndarray:
+        """(C, (deg+1)^2, 3) stacked SH coefficients."""
+        return jnp.concatenate([self.features_dc, self.features_rest], axis=1)
+
+    def get_radius(self) -> jnp.ndarray:
+        """(sum(scales) - min(scale)) / 2 (reference `:358-362`)."""
+        s = self.get_scaling()
+        return (jnp.sum(s, axis=-1) - jnp.min(s, axis=-1)) / 2.0
+
+    def get_color(self) -> jnp.ndarray:
+        return shlib.sh_to_rgb(self.features_dc[:, 0, :])
+
+    def get_confidence(self) -> jnp.ndarray:
+        return jnp.sum(1.0 / self.sigma2, axis=-1)
+
+    def num_active(self) -> jnp.ndarray:
+        return jnp.sum(self.active.astype(jnp.int32))
+
+
+class SpawnBatch(NamedTuple):
+    """Fixed-size batch of candidate surfels to append (invalid rows masked)."""
+
+    xyz: jnp.ndarray  # (K, 3)
+    normal: jnp.ndarray  # (K, 3)
+    color: jnp.ndarray  # (K, 3)
+    dist: jnp.ndarray  # (K, 3) linear scales (3rd entry ignored)
+    eta: jnp.ndarray  # (K, 6)
+    sigma2: jnp.ndarray  # (K, 2)
+    valid: jnp.ndarray  # (K,) bool
+
+
+def append_surfels(s: SurfelMap, batch: SpawnBatch, time: jnp.ndarray, init_opacity: float) -> SurfelMap:
+    """Scatter a fixed-size spawn batch into free slots above the watermark.
+
+    Replaces the reference's `create_surfels` + `cat` growth
+    (`gaussian_surfels.py:169-222`, `:152-167`) with a static-shape scatter:
+    valid rows are compacted to positions count + prefix(valid), invalid rows
+    go to a dump slot (index = capacity, dropped by the scatter clamp mode).
+    """
+    C = s.capacity
+    K = batch.xyz.shape[0]
+    # normal must be nonzero (reference `create_surfels` valid_mask, `:175`)
+    valid = batch.valid & (jnp.sum(jnp.abs(batch.normal), axis=-1) > 1e-12)
+    # drop whatever exceeds remaining capacity
+    offsets = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    slots = s.count + offsets
+    valid = valid & (slots < C)
+    idx = jnp.where(valid, slots, C)  # C = out-of-bounds -> dropped
+
+    q = tf.compute_rot(jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (K, 3)), batch.normal)
+    scales = jnp.log(jnp.maximum(batch.dist, 1e-12))
+    scales = scales.at[:, 2].set(FLAT_LOG_SCALE)
+    dc = shlib.rgb_to_sh(batch.color)[:, None, :]
+    opa = tf.inverse_sigmoid(jnp.full((K, 1), init_opacity, jnp.float32))
+
+    drop = dict(mode="drop")
+    s = s.replace(
+        xyz=s.xyz.at[idx].set(batch.xyz, **drop),
+        features_dc=s.features_dc.at[idx].set(dc, **drop),
+        features_rest=s.features_rest.at[idx].set(jnp.zeros((K,) + s.features_rest.shape[1:]), **drop),
+        scaling=s.scaling.at[idx].set(scales, **drop),
+        rotation=s.rotation.at[idx].set(q, **drop),
+        opacity=s.opacity.at[idx].set(opa, **drop),
+        eta=s.eta.at[idx].set(batch.eta, **drop),
+        sigma2=s.sigma2.at[idx].set(batch.sigma2, **drop),
+        observe_count=s.observe_count.at[idx].set(0, **drop),
+        tic=s.tic.at[idx].set(jnp.full((K,), time, jnp.int32), **drop),
+        error_count=s.error_count.at[idx].set(0, **drop),
+        inview=s.inview.at[idx].set(True, **drop),
+        surface=s.surface.at[idx].set(True, **drop),
+        stable=s.stable.at[idx].set(False, **drop),
+        active=s.active.at[idx].set(True, **drop),
+        count=jnp.minimum(s.count + jnp.sum(valid.astype(jnp.int32)), C),
+    )
+    return s
+
+
+def prune_surfels(s: SurfelMap, delete_mask: jnp.ndarray) -> SurfelMap:
+    """Mask-based deletion (reference `delete`, `gaussian_surfels.py:58-76`).
+
+    Slots are not compacted (static shapes); they are excluded from rendering
+    and fusion via `active`. Compaction happens host-side if fragmentation
+    grows (see `compact_surfels`).
+    """
+    return s.replace(active=s.active & ~delete_mask)
+
+
+def compact_surfels(s: SurfelMap) -> SurfelMap:
+    """Move all active surfels to the front (slot reclamation).
+
+    One argsort + gather; run occasionally from the host when
+    count - num_active grows large.
+    """
+    C = s.capacity
+    order = jnp.argsort(~s.active, stable=True)  # actives first, stable
+
+    def gather(x):
+        if x.ndim == 0:
+            return x
+        return x[order]
+
+    num = s.num_active()
+    out = jax.tree_util.tree_map(gather, s)
+    return out.replace(count=num.astype(jnp.int32))
+
+
+def render_params(s: SurfelMap) -> dict:
+    """Derived render inputs (reference `Mapping.total_params`, `mapper.py:565-586`)."""
+    rotations = jnp.nan_to_num(s.get_rotation(), nan=1.0)
+    return {
+        "xyz": s.xyz,
+        "opacity": s.get_opacity(),
+        "scales": s.get_scaling(),
+        "rotations": rotations,
+        "normal": s.get_normal(),
+        "shs": s.get_features(),
+        "radius": s.get_radius(),
+        "active": s.active,
+    }
+
+
+def update_stability(s: SurfelMap, threshold: float = 10.0) -> SurfelMap:
+    """Promote surfels whose information confidence exceeds the threshold
+    (reference `surfels_postprocess`, `mapper.py:326-334`)."""
+    return s.replace(stable=(s.get_confidence() > threshold) & s.active)

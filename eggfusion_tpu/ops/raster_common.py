@@ -1,0 +1,124 @@
+"""Shared surfel-projection math for the renderers.
+
+The reference renders through the `diff-gaussian-surfels` CUDA rasterizer
+(submodule, interface at `/root/reference/src/core/render.py:53-104`): for a
+camera it returns (color, normal, depth, opacity) images with gradients.
+This module computes the per-surfel screen-space quantities (projected mean,
+2D covariance via EWA splatting of the surfel's tangent disk, view-dependent
+SH color, camera-frame normal) consumed by both the XLA golden renderer
+(`raster_xla`) and the Pallas tile renderer (`raster_pallas`).
+
+Per-pixel depth is the ray/surfel-plane intersection — the geometry-aware
+depth that distinguishes surfel splatting from point splatting.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from eggfusion_tpu.geometry import sh as shlib
+from eggfusion_tpu.geometry import transforms as tf
+
+# low-pass dilation of the projected footprint, as in 3DGS (pixels^2)
+LOWPASS = 0.3
+NEAR_Z = 0.05
+ALPHA_EPS = 1.0 / 255.0
+MAX_ALPHA = 0.99
+
+
+class ProjectedSurfels(NamedTuple):
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    depth: jnp.ndarray  # (N,) view-space z of the center
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c): [[a, b], [b, c]]
+    radius: jnp.ndarray  # (N,) screen-space 3-sigma radius in pixels
+    color: jnp.ndarray  # (N, 3) view-dependent RGB
+    normal_cam: jnp.ndarray  # (N, 3) camera-frame unit normal
+    p_cam: jnp.ndarray  # (N, 3) camera-frame center
+    opacity: jnp.ndarray  # (N,) activated opacity (0 for culled/inactive)
+    valid: jnp.ndarray  # (N,) bool
+
+
+def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
+                    sh_degree: int = 3) -> ProjectedSurfels:
+    """Project surfels into a pinhole camera.
+
+    params: dict from `core.surfels.render_params`.
+    w2c: (4, 4); intr: (4,) fx, fy, cx, cy; width/height static ints.
+    """
+    xyz = params["xyz"]
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+
+    p_cam = xyz @ R.T + t
+    z = p_cam[:, 2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    u = fx * p_cam[:, 0] / z_safe + cx
+    v = fy * p_cam[:, 1] / z_safe + cy
+    mean2d = jnp.stack([u, v], axis=-1)
+
+    # tangent disk axes in camera frame
+    Rs = tf.build_rotation(params["rotations"])  # (N, 3, 3)
+    s = params["scales"]
+    tu = (Rs[..., :, 0] * s[:, 0:1]) @ R.T  # (N, 3)
+    tv = (Rs[..., :, 1] * s[:, 1:2]) @ R.T
+
+    inv_z = 1.0 / z_safe
+    inv_z2 = inv_z * inv_z
+    # EWA: project each tangent axis with the local perspective Jacobian
+    def proj_axis(a):
+        jx = fx * (a[:, 0] * inv_z - p_cam[:, 0] * a[:, 2] * inv_z2)
+        jy = fy * (a[:, 1] * inv_z - p_cam[:, 1] * a[:, 2] * inv_z2)
+        return jnp.stack([jx, jy], axis=-1)
+
+    a2 = proj_axis(tu)
+    b2 = proj_axis(tv)
+    # 2D covariance = a2 a2^T + b2 b2^T + lowpass*I
+    cxx = a2[:, 0] ** 2 + b2[:, 0] ** 2 + LOWPASS
+    cxy = a2[:, 0] * a2[:, 1] + b2[:, 0] * b2[:, 1]
+    cyy = a2[:, 1] ** 2 + b2[:, 1] ** 2 + LOWPASS
+    det = cxx * cyy - cxy * cxy
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([cyy / det, -cxy / det, cxx / det], axis=-1)
+
+    # 3-sigma screen radius from the largest eigenvalue
+    mid = 0.5 * (cxx + cyy)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = 3.0 * jnp.sqrt(lam)
+
+    # view-dependent color
+    cam_center = -(R.T @ t)
+    dirs = xyz - cam_center
+    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+    shs = jnp.swapaxes(params["shs"], -2, -1)  # (N, 3, K)
+    color = shlib.eval_sh(sh_degree, shs, dirs)
+    color = jnp.maximum(color + 0.5, 0.0)  # 3DGS convention: SH + 0.5, clipped
+
+    normal_cam = params["normal"] @ R.T
+    # orient normals toward the camera (surfels are two-sided disks)
+    flip = jnp.sign(-jnp.sum(normal_cam * p_cam, axis=-1))
+    flip = jnp.where(flip == 0, 1.0, flip)
+    normal_cam = normal_cam * flip[:, None]
+
+    inb = (
+        (z > NEAR_Z)
+        & (u + radius > 0)
+        & (u - radius < width)
+        & (v + radius > 0)
+        & (v - radius < height)
+    )
+    valid = inb & params["active"]
+    opacity = jnp.where(valid, params["opacity"][:, 0], 0.0)
+
+    return ProjectedSurfels(
+        mean2d=mean2d,
+        depth=z,
+        conic=conic,
+        radius=jnp.where(valid, radius, 0.0),
+        color=color,
+        normal_cam=normal_cam,
+        p_cam=p_cam,
+        opacity=opacity,
+        valid=valid,
+    )

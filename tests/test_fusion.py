@@ -1,0 +1,117 @@
+import jax.numpy as jnp
+import numpy as np
+
+from eggfusion_tpu.core import surfels as sf
+from eggfusion_tpu.ops import fusion
+
+W, H = 32, 24
+INTR = jnp.asarray([30.0, 30.0, W / 2 - 0.5, H / 2 - 0.5])
+CFG = sf.SurfelConfig(capacity=32, max_sh_degree=0, active_sh_degree=0, alpha_p=1.0, alpha_n=0.5)
+
+
+def _map_with(xyzs, normals=None, colors=None, sigma2=None):
+    n = len(xyzs)
+    normals = normals or [[0.0, 0.0, -1.0]] * n
+    colors = colors or [[0.5, 0.5, 0.5]] * n
+    lam = np.full((n, 2), 1.0) if sigma2 is None else 1.0 / np.asarray(sigma2)
+    xyz = np.asarray(xyzs, np.float32)
+    nrm = np.asarray(normals, np.float32)
+    batch = sf.SpawnBatch(
+        xyz=jnp.asarray(xyz),
+        normal=jnp.asarray(nrm),
+        color=jnp.asarray(colors, jnp.float32),
+        dist=jnp.full((n, 3), 0.05),
+        eta=jnp.asarray(np.concatenate([xyz * lam[:, :1], nrm * lam[:, 1:]], -1), jnp.float32),
+        sigma2=jnp.asarray(1.0 / lam, jnp.float32),
+        valid=jnp.ones(n, bool),
+    )
+    return sf.append_surfels(sf.SurfelMap.empty(CFG), batch, jnp.int32(0), 0.99)
+
+
+class TestProjectToFrame:
+    def test_index_map_and_depth(self):
+        s = _map_with([[0.0, 0.0, 2.0]])
+        imap, dbuf = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        cy, cx = H // 2, W // 2
+        # cx-0.5 rounds to cx... center pixel: u = 30*0/2 + 15.5 = 15.5 -> 16
+        hits = np.argwhere(np.asarray(imap) >= 0)
+        assert len(hits) == 1
+        y, x = hits[0]
+        assert abs(y - cy) <= 1 and abs(x - cx) <= 1
+        assert abs(float(dbuf[y, x]) - 2.0) < 1e-5
+
+    def test_nearest_wins(self):
+        s = _map_with([[0.0, 0.0, 3.0], [0.0, 0.0, 1.5]])
+        imap, dbuf = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        y, x = np.argwhere(np.asarray(imap) >= 0)[0]
+        assert int(imap[y, x]) == 1
+        assert abs(float(dbuf[y, x]) - 1.5) < 1e-5
+
+    def test_inactive_ignored(self):
+        s = _map_with([[0.0, 0.0, 2.0]])
+        s = sf.prune_surfels(s, jnp.ones(32, bool))
+        imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        assert int(jnp.max(imap)) == -1
+
+
+class TestFusion:
+    def _frame(self, vertex_fn, normal=(0, 0, -1.0), color=(1.0, 0, 0), depth_val=2.0):
+        vert = np.zeros((H, W, 3), np.float32)
+        for y in range(H):
+            for x in range(W):
+                vert[y, x] = vertex_fn(x, y)
+        nrm = np.tile(np.asarray(normal, np.float32), (H, W, 1))
+        col = np.tile(np.asarray(color, np.float32), (H, W, 1))
+        dep = np.full((H, W, 1), depth_val, np.float32)
+        geo = np.ones((H, W, 1), bool)
+        return jnp.asarray(vert), jnp.asarray(nrm), jnp.asarray(col), jnp.asarray(dep), jnp.asarray(geo)
+
+    def test_information_filter_position_update(self):
+        s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
+        imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        # measurement at the surfel's pixel, offset by 1 cm in x
+        vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.01, 0.0, 2.0))
+        model_depth = dep
+        s2, stats = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, model_depth, 0.1, CFG, jnp.int32(1))
+        assert int(stats.fused_pixels) == 1
+        # information filter: lam_old = 1, lam_meas = 1/(2*1)^2 = 0.25
+        # x_new = (eta_old + 0.25 * 0.01) / 1.25 in x; eta_old_x = 0
+        expect_x = (0.0 + 0.25 * 0.01) / 1.25
+        np.testing.assert_allclose(float(s2.xyz[0, 0]), expect_x, rtol=1e-4)
+        # precision accumulated
+        np.testing.assert_allclose(float(1.0 / s2.sigma2[0, 0]), 1.25, rtol=1e-5)
+        assert int(s2.observe_count[0]) == 1
+
+    def test_repeated_fusion_converges_to_measurement(self):
+        s = _map_with([[0.05, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
+        vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 2.0))
+        for t in range(50):
+            imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+            s, _ = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.2, CFG, jnp.int32(t))
+        assert abs(float(s.xyz[0, 0])) < 0.01  # pulled toward repeated measurement
+
+    def test_distance_gate_counts_error(self):
+        s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
+        imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 3.0))  # 1 m off
+        s2, stats = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        assert int(stats.fused_pixels) == 0
+        assert int(s2.observe_count[0]) == 0
+        assert int(s2.error_count[0]) == 1
+        np.testing.assert_allclose(np.asarray(s2.xyz[0]), [0, 0, 2.0], atol=1e-6)
+
+    def test_stable_surfel_geometry_locked(self):
+        s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
+        s = s.replace(stable=s.stable.at[0].set(True))
+        imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.02, 0.0, 2.0))
+        s2, _ = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        np.testing.assert_allclose(np.asarray(s2.xyz[0]), [0, 0, 2.0], atol=1e-6)
+        assert int(s2.observe_count[0]) == 1  # still counted
+
+    def test_prune_unstable(self):
+        s = _map_with([[0.0, 0.0, 2.0], [1.0, 0.0, 2.0]])
+        s = s.replace(error_count=s.error_count.at[0].set(20), observe_count=s.observe_count.at[0].set(1))
+        s2 = fusion.prune_unstable(s, CFG, jnp.int32(5))
+        assert not bool(s2.active[0])
+        assert bool(s2.active[1])
