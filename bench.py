@@ -1,0 +1,80 @@
+"""Benchmark driver: end-to-end track+map FPS on a Replica-class workload.
+
+Runs the full per-frame pipeline (bilateral+pyramid preprocess, pyramid GN
+tracking, render, fusion, spawn, sliding-window optimization at the
+reference cadence) on the synthetic corner scene at a Replica-like
+resolution, on whatever device JAX provides (the real TPU chip under the
+driver). Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the build target of >= 30 FPS track+map (BASELINE.md — the
+reference publishes no numbers; 30 FPS real-time is the north star).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+BASELINE_FPS = 30.0
+
+
+def main() -> None:
+    n_warm = int(os.environ.get("BENCH_WARMUP", 5))
+    n_frames = int(os.environ.get("BENCH_FRAMES", 40))
+    width = int(os.environ.get("BENCH_WIDTH", 1200))
+    height = int(os.environ.get("BENCH_HEIGHT", 680))
+    max_surfels = int(os.environ.get("BENCH_SURFELS", 600_000))
+
+    from eggfusion_tpu import config as cfglib
+    from eggfusion_tpu.main import build_frame
+    from eggfusion_tpu.data.datasets import load_dataset
+    from eggfusion_tpu.system import EGGFusion
+
+    cfg = cfglib.default_config(
+        Dataset={
+            "type": "synthetic",
+            "n_frames": n_warm + n_frames,
+            "preload": True,
+            "Calibration": {
+                "fx": 600.0, "fy": 600.0, "cx": width / 2 - 0.5, "cy": height / 2 - 0.5,
+                "width": width, "height": height, "depth_scale": 1.0,
+            },
+        },
+        Viewer={"max_surfels_num": max_surfels},
+        Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+        System={"save_dir": "results/bench", "final_global_opt": False},
+    )
+
+    dataset = load_dataset(cfg)
+    ef = EGGFusion(cfg)
+
+    # warmup: triggers all compilations
+    for fid in range(n_warm):
+        ef.reconstruct(build_frame(dataset, fid, True))
+
+    import jax
+
+    jax.block_until_ready(ef.mapper.surfels.xyz)
+    t0 = time.perf_counter()
+    for fid in range(n_warm, n_warm + n_frames):
+        ef.reconstruct(build_frame(dataset, fid, True))
+    jax.block_until_ready(ef.mapper.surfels.xyz)
+    wall = time.perf_counter() - t0
+
+    fps = n_frames / wall
+    print(
+        json.dumps(
+            {
+                "metric": f"synthetic {width}x{height} track+map FPS ({jax.default_backend()})",
+                "value": round(fps, 3),
+                "unit": "fps",
+                "vs_baseline": round(fps / BASELINE_FPS, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,445 @@
+"""Mapping backend: keyframing, surfel spawning, fusion orchestration, and
+sliding-window / global map optimization.
+
+TPU-native equivalent of the reference `src/core/mapper.py` (`Mapping`,
+`KeyFrame`, `KeyFrameManager`). Key redesigns:
+
+* The per-frame map update (`surfels_preprocess`) is jit-compiled end to end:
+  render -> rendered vertex/normal -> index map -> information fusion ->
+  Bernoulli spawn-sampling -> masked append. Static shapes throughout
+  (fixed spawn capacity instead of `torch.randperm` + `torch.cat` growth,
+  `mapper.py:446-492`, `gaussian_surfels.py:152-167`).
+* Map optimization is one jitted train step (render + loss + manual Adam with
+  per-group learning rates, matching torch.optim.Adam semantics including the
+  fresh-moments-per-round behavior of `mapper.py:338`).
+* Keyframes snapshot their maps to HOST numpy (the reference's
+  `KeyFrame.cpu()` migration, `mapper.py:54-66`) and are `device_put` per
+  optimization iteration.
+"""
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eggfusion_tpu.core import surfels as sf
+from eggfusion_tpu.geometry import transforms as tf
+from eggfusion_tpu.ops import fusion
+from eggfusion_tpu.ops import image as imops
+
+
+class MapperConfig(NamedTuple):
+    """Static mapping configuration (reference `Mapping:`/`Surfel:` config
+    sections, `configs/replica/base.yaml:43-96`)."""
+
+    local_map_iter: int = 3
+    local_map_iter_init: int = 20
+    final_global_opt_iter: int = 60
+    add_opacity_thres: float = 0.8
+    add_depth_thres: float = 0.05
+    sample_ratio: float = 0.025
+    sample_ratio_init: float = 0.2
+    init_scale_ratio: float = 2.0
+    fusion_dist_thres: float = 0.03
+    sw_optimize_freq: int = 6
+    sw_add_freq: int = 3
+    color_weight: float = 1.0
+    depth_weight: float = 1.0
+    normal_weight: float = 1.0
+    reg_weight: float = 10.0
+    reg_weight_n: float = 1.0
+    state_threshold: float = 30.0
+    stable_confidence: float = 10.0
+    spawn_cap: int = 32768
+    spawn_cap_init: int = 262144
+    border_pad: int = 7
+
+
+OPT_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
+
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+def _adam_init(params):
+    zeros = lambda p: jnp.zeros_like(p)
+    return {k: (zeros(v), zeros(v)) for k, v in params.items()}
+
+
+def _adam_update(params, grads, moments, step, lrs):
+    """torch.optim.Adam semantics (lr per group, betas (0.9, 0.999), eps 1e-8).
+
+    `lrs` are traced scalars so learning-rate changes don't recompile.
+    """
+    new_params, new_moments = {}, {}
+    t = step.astype(jnp.float32) + 1.0
+    for k, p in params.items():
+        g = grads[k]
+        m, v = moments[k]
+        m = ADAM_B1 * m + (1 - ADAM_B1) * g
+        v = ADAM_B2 * v + (1 - ADAM_B2) * g * g
+        mhat = m / (1 - ADAM_B1**t)
+        vhat = v / (1 - ADAM_B2**t)
+        new_params[k] = p - lrs[k] * mhat / (jnp.sqrt(vhat) + ADAM_EPS)
+        new_moments[k] = (m, v)
+    return new_params, new_moments
+
+
+def _masked_mean(x, mask):
+    num = jnp.sum(jnp.where(mask, x, 0.0))
+    den = jnp.maximum(jnp.sum(mask.astype(jnp.float32)) * (x.size / mask.size), 1.0)
+    return num / den
+
+
+def _safe_norm(x, axis=None, eps=1e-12):
+    """sqrt(sum(x^2) + eps): finite gradient at ||x|| = 0, unlike
+    jnp.linalg.norm (whose derivative x/||x|| NaNs the whole backward pass —
+    e.g. the drift regularizer is exactly zero on the first Adam step)."""
+    return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
+
+
+def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig):
+    """Mapping loss (reference `compute_loss`, `mapper.py:381-444`):
+    masked L1 color + L1 depth + (1 - cosine) normal + drift regularizer
+    against the detached round-start geometry."""
+    est_color = render_out["color"]
+    est_depth = render_out["depth"]
+    est_normal = render_out["normal"]
+
+    mask = (kf["rgb_mask"] & kf["geo_mask"])[..., 0]  # (H, W)
+    m3 = mask[..., None]
+
+    color_loss = _masked_mean(jnp.abs(kf["color"] - est_color), m3)
+    depth_loss = _masked_mean(jnp.abs(kf["depth"] - est_depth), mask[..., None])
+
+    cos = jnp.sum(kf["normal"] * est_normal, axis=-1) / (
+        _safe_norm(kf["normal"], axis=-1) * _safe_norm(est_normal, axis=-1)
+    )
+    cos = jnp.clip(cos, -1 + 1e-6, 1 - 1e-6)
+    normal_loss = _masked_mean(jnp.abs(1.0 - cos), mask)
+
+    # drift regularizer: global L2 position norm (reference quirk: torch.norm
+    # over the whole tensor, `mapper.py:429`) + masked-mean normal cosine
+    reg_pos = _safe_norm(geo_snapshot["position"] - s.xyz)
+    ncos = jnp.sum(geo_snapshot["normal"] * s.get_normal(), axis=-1)
+    ncos = jnp.clip(ncos, -1 + 1e-6, 1 - 1e-6)
+    reg_norm = _masked_mean(jnp.abs(1.0 - ncos), s.active)
+    reg_loss = reg_pos + mcfg.reg_weight_n * reg_norm
+
+    total = (
+        mcfg.color_weight * color_loss
+        + mcfg.depth_weight * depth_loss
+        + mcfg.normal_weight * normal_loss
+        + mcfg.reg_weight * reg_loss
+    )
+    return total
+
+
+class KeyFrame:
+    """Host-resident snapshot of a frame + its maps (reference `KeyFrame`,
+    `mapper.py:29-66`: migrates maps to CPU to bound device memory)."""
+
+    def __init__(self, frame, frame_map: dict, time: int, fid: int):
+        self.fid = fid
+        self.time = time
+        self.uid = frame.uid
+        self.w2c = np.asarray(frame.w2c_matrix())
+        self.intr = np.asarray(frame.intr)
+        self.width, self.height = frame.width, frame.height
+        self.maps = {
+            "color": np.asarray(frame_map["color_map"]),
+            "depth": np.asarray(frame_map["depth_map"]),
+            "normal": np.asarray(frame_map["normal_map_c"]),
+            "rgb_mask": np.asarray(frame_map["rgb_mask"]),
+            "geo_mask": np.asarray(frame_map["geo_mask"]),
+        }
+
+    def device_maps(self) -> dict:
+        return {k: jnp.asarray(v) for k, v in self.maps.items()}
+
+
+class KeyFrameManager:
+    """Keyframe policy (reference `KeyFrameManager`, `mapper.py:68-116`):
+    accept when rotation > check_keyframe_R deg or translation >
+    check_keyframe_t vs the previous keyframe; frame 0 always. Maintains the
+    sliding window deque."""
+
+    def __init__(self, cfg):
+        self.keyframes: dict[int, KeyFrame] = {}
+        self.check_R = float(cfg.Tracking.check_keyframe_R)
+        self.check_t = float(cfg.Tracking.check_keyframe_t)
+        self.window_size = int(cfg.Tracking.sliding_window_size)
+        self.sliding_window: deque = deque(maxlen=self.window_size)
+
+    def check_keyframe(self, frame, frame_map, time: int) -> bool:
+        kf = KeyFrame(frame, frame_map, time, len(self.keyframes))
+        if time == 0 or not self.keyframes:
+            self.keyframes[kf.uid] = kf
+            return True
+        prev = self.keyframes[self.ids()[-1]]
+        # c2w rotations/centers
+        prev_c2w = np.linalg.inv(prev.w2c)
+        curr_c2w = np.linalg.inv(kf.w2c)
+        cos_theta = np.clip((np.trace(prev_c2w[:3, :3].T @ curr_c2w[:3, :3]) - 1) / 2, -1, 1)
+        dR = np.degrees(np.arccos(cos_theta))
+        dt = np.linalg.norm(prev_c2w[:3, 3] - curr_c2w[:3, 3])
+        if dR > self.check_R or dt > self.check_t:
+            self.keyframes[kf.uid] = kf
+            return True
+        return False
+
+    def ids(self):
+        return sorted(self.keyframes.keys())
+
+    def __len__(self):
+        return len(self.keyframes)
+
+
+class Mapping:
+    """Mapping orchestrator (reference `Mapping`, `mapper.py:118-586`)."""
+
+    def __init__(self, cfg, renderer, surfel_cfg: sf.SurfelConfig | None = None):
+        m = cfg.Mapping
+        H = int(cfg.Dataset.Calibration.height)
+        W = int(cfg.Dataset.Calibration.width)
+        self.mcfg = MapperConfig(
+            local_map_iter=int(m.local_map_iter),
+            local_map_iter_init=int(m.local_map_iter_init),
+            final_global_opt_iter=int(m.final_global_opt_iter),
+            add_opacity_thres=float(m.add_opacity_thres),
+            add_depth_thres=float(m.add_depth_thres),
+            sample_ratio=float(m.sample_ratio),
+            sample_ratio_init=float(m.sample_ratio_init),
+            init_scale_ratio=float(m.init_scale_ratio),
+            fusion_dist_thres=float(m.fusion_dist_thres),
+            sw_optimize_freq=int(m.sw_optimize_freq),
+            sw_add_freq=int(m.sw_add_freq),
+            color_weight=float(m.color_weight),
+            depth_weight=float(m.depth_weight),
+            normal_weight=float(m.normal_weight),
+            reg_weight=float(m.reg_weight),
+            reg_weight_n=float(m.reg_weight_n),
+            state_threshold=float(m.state_threshold),
+            spawn_cap=min(int(H * W * float(m.sample_ratio) * 2.0) + 256, H * W),
+            spawn_cap_init=min(int(H * W * float(m.sample_ratio_init) * 1.5) + 256, H * W),
+        )
+        self.scfg = surfel_cfg or sf.SurfelConfig(
+            capacity=int(cfg.Viewer.max_surfels_num),
+            max_sh_degree=int(cfg.Surfel.max_sh_degree),
+            active_sh_degree=int(cfg.Surfel.active_sh_degree),
+            init_opacity=float(cfg.Surfel.init_opacity),
+            alpha_p=float(cfg.Surfel.alpha_p),
+            alpha_n=float(cfg.Surfel.alpha_n),
+        )
+        self.sw_lrs = {
+            "xyz": float(m.position_lr),
+            "features_dc": float(m.feature_lr),
+            "features_rest": float(m.feature_lr) / 20.0,
+            "opacity": float(m.opacity_lr),
+            "scaling": float(m.scaling_lr),
+            "rotation": float(m.rotation_lr),
+        }
+        self.global_lrs = {
+            "xyz": float(m.final_position_lr),
+            "features_dc": float(m.final_feature_lr),
+            "features_rest": float(m.final_feature_lr) / 20.0,
+            "opacity": float(m.final_opacity_lr),
+            "scaling": float(m.final_scaling_lr),
+            "rotation": float(m.final_rotation_lr),
+        }
+
+        self.renderer = renderer
+        self.keyframe_manager = KeyFrameManager(cfg)
+        self.surfels = sf.SurfelMap.empty(self.scfg)
+        self.time = 0
+        self.model_map: dict | None = None
+        self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
+        self._build_jitted_fns()
+
+    # ------------------------------------------------------------------ jit --
+
+    def _build_jitted_fns(self):
+        mcfg = self.mcfg
+        scfg = self.scfg
+        render_at = self.renderer.render_at
+        sh_degree = self.renderer.active_sh_degree
+
+        @functools.partial(jax.jit, static_argnames=("width", "height", "first"))
+        def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, key,
+                       width: int, height: int, first: bool):
+            """Per-frame map update (reference `surfels_preprocess`,
+            `mapper.py:242-324`): fuse then spawn."""
+            depth = frame_map["depth_map"]
+            stats = None
+            if not first:
+                model = render_at(sf.render_params(s), w2c, intr, width, height)
+                imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, w2c, intr, width, height)
+                s, stats = fusion.fuse_surfels(
+                    s, imap,
+                    frame_map["vertex_map_w"], frame_map["normal_map_w"],
+                    frame_map["color_map"], depth, frame_map["geo_mask"],
+                    model["depth"], mcfg.fusion_dist_thres, scfg, time,
+                )
+                opacity_mask = model["opacity"] < mcfg.add_opacity_thres
+                depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)
+                sample_mask = (opacity_mask | (depth_err > mcfg.add_depth_thres)) & (depth > 0)
+                ratio = mcfg.sample_ratio
+                cap = mcfg.spawn_cap
+            else:
+                sample_mask = depth > 0
+                ratio = mcfg.sample_ratio_init
+                cap = mcfg.spawn_cap_init
+
+            batch = _sample_spawn(
+                frame_map, sample_mask[..., 0], ratio, cap, key, intr, mcfg, scfg
+            )
+            s = sf.append_surfels(s, batch, time, scfg.init_opacity)
+            s = sf.update_stability(s, mcfg.stable_confidence)
+            return s, stats
+
+        @functools.partial(jax.jit, static_argnames=("width", "height"))
+        def render_model(s: sf.SurfelMap, w2c, intr, width: int, height: int):
+            return render_at(sf.render_params(s), w2c, intr, width, height)
+
+        @functools.partial(jax.jit, static_argnames=("width", "height"))
+        def opt_step(s: sf.SurfelMap, moments, step, kf: dict, w2c, intr,
+                     geo_snapshot: dict, lrs: dict, width: int, height: int):
+            """One render+loss+Adam map-optimization step (reference
+            `frame_batch_optimization` inner loop, `mapper.py:351-368`)."""
+            params = {k: getattr(s, k) for k in OPT_FIELDS}
+
+            def loss_fn(p):
+                s2 = s.replace(**p)
+                out = render_at(sf.render_params(s2), w2c, intr, width, height)
+                return compute_loss(out, kf, s2, geo_snapshot, mcfg)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            new_params, moments = _adam_update(params, grads, moments, step, lrs)
+            s = s.replace(**new_params)
+            return s, moments, step + 1, loss
+
+        def _sample_spawn(frame_map, sample_mask, ratio, cap, key, intr, mcfg, scfg):
+            """Spawn-candidate sampling (reference `sample_for_init_surfels`,
+            `mapper.py:446-492`) — Bernoulli per-pixel selection at probability
+            `ratio` (statistically equivalent to the reference's exact-count
+            randperm subset, but sort-free / static-shape) with 7-px border
+            exclusion, compacted into a fixed-size SpawnBatch."""
+            depth = frame_map["depth_map"][..., 0]
+            normal = frame_map["normal_map_w"]
+            H, W = depth.shape
+            pad = mcfg.border_pad
+            border = jnp.zeros((H, W), bool).at[pad:-pad, pad:-pad].set(True)
+            invalid_normal = jnp.all(normal == 0, axis=-1)
+            mask = sample_mask & border & ~invalid_normal
+
+            u = jax.random.uniform(key, (H, W))
+            sel = mask & (u < ratio)
+            flat_sel = sel.reshape(-1)
+            pos = jnp.cumsum(flat_sel.astype(jnp.int32)) - 1
+            ok = flat_sel & (pos < cap)
+            slot = jnp.where(ok, pos, cap)
+            pix = jnp.arange(H * W, dtype=jnp.int32)
+            idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(jnp.where(ok, pix, 0), mode="drop")
+            nsel = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)
+            idx = idx[:cap]
+            valid = jnp.arange(cap) < nsel
+
+            fx, fy = intr[0], intr[1]
+            d = depth.reshape(-1)[idx]
+            p = frame_map["vertex_map_w"].reshape(-1, 3)[idx]
+            n = normal.reshape(-1, 3)[idx]
+            c = frame_map["color_map"].reshape(-1, 3)[idx]
+            dist = jnp.stack(
+                [mcfg.init_scale_ratio * d / fx, mcfg.init_scale_ratio * d / fy, jnp.zeros_like(d)],
+                axis=-1,
+            )
+            s2p = jnp.maximum((d * scfg.alpha_p) ** 2, 1e-12)
+            s2n = jnp.maximum((d * scfg.alpha_n) ** 2, 1e-12)
+            eta = jnp.concatenate([p / s2p[:, None], n / s2n[:, None]], axis=-1)
+            return sf.SpawnBatch(
+                xyz=p, normal=n, color=c, dist=dist, eta=eta,
+                sigma2=jnp.stack([s2p, s2n], axis=-1), valid=valid,
+            )
+
+        self._map_update = map_update
+        self._render_model = render_model
+        self._opt_step = opt_step
+
+    # ----------------------------------------------------------------- host --
+
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def mapping(self, frame, frame_map: dict) -> None:
+        """Per-frame mapping entry (reference `Mapping.mapping`,
+        `mapper.py:180-195`)."""
+        first = self.time == 0
+        self.surfels, _ = self._map_update(
+            self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
+            jnp.int32(self.time), self._next_key(), frame.width, frame.height, first,
+        )
+
+        frame_ele = (frame, frame_map, self.time)
+        if self.time % self.mcfg.sw_add_freq == 0:
+            self.keyframe_manager.sliding_window.append(KeyFrame(frame, frame_map, self.time, -1))
+        if self.time % self.mcfg.sw_optimize_freq == 0:
+            self.keyframe_manager.check_keyframe(frame, frame_map, self.time)
+            self.frame_batch_optimization(frame)
+
+        self.time += 1
+
+    def get_render_output(self, frame) -> dict:
+        """Render the current model from a frame's pose (reference
+        `get_render_output`, `mapper.py:494-506`). Channel-last maps."""
+        out = self._render_model(self.surfels, frame.w2c_matrix(), frame.intr, frame.width, frame.height)
+        self.model_map = {
+            "render_color": out["color"],
+            "render_depth": out["depth"],
+            "render_normal": out["normal"],
+            "render_opacity": out["opacity"],
+        }
+        return self.model_map
+
+    def _optimize(self, keyframes: list, iters: int, lrs: dict) -> float:
+        geo_snapshot = {
+            "position": jax.lax.stop_gradient(self.surfels.xyz),
+            "normal": jax.lax.stop_gradient(self.surfels.get_normal()),
+        }
+        params = {k: getattr(self.surfels, k) for k in OPT_FIELDS}
+        moments = _adam_init(params)
+        step = jnp.int32(0)
+        lrs_dev = {k: jnp.float32(v) for k, v in lrs.items()}
+        loss = float("nan")
+        rng = np.random.default_rng(self.time)
+        for _ in range(iters):
+            kf = keyframes[rng.integers(len(keyframes))]
+            self.surfels, moments, step, loss = self._opt_step(
+                self.surfels, moments, step, kf.device_maps(),
+                jnp.asarray(kf.w2c), jnp.asarray(kf.intr),
+                geo_snapshot, lrs_dev, kf.width, kf.height,
+            )
+        return float(loss)
+
+    def frame_batch_optimization(self, frame) -> float:
+        """Sliding-window optimization (reference `mapper.py:336-378`)."""
+        window = list(self.keyframe_manager.sliding_window)
+        if not window:
+            return float("nan")
+        iters = self.mcfg.local_map_iter * len(window) if self.time > 0 else self.mcfg.local_map_iter_init
+        return self._optimize(window, iters, self.sw_lrs)
+
+    def keyframe_optimization(self, keyframe_num: int = -1) -> float:
+        """Final/global keyframe optimization (reference `mapper.py:197-240`)."""
+        ids = self.keyframe_manager.ids()
+        if not ids:
+            return float("nan")
+        if keyframe_num == -1:
+            keyframe_num = len(ids)
+        keyframe_num = min(keyframe_num, len(ids))
+        kfs = [self.keyframe_manager.keyframes[i] for i in ids[:keyframe_num]]
+        iters = self.mcfg.final_global_opt_iter * keyframe_num
+        return self._optimize(kfs, iters, self.global_lrs)

@@ -1,0 +1,46 @@
+"""Renderer facade: selects the rasterizer backend.
+
+Interface contract = reference `Renderer.render` (`/root/reference/src/core/
+render.py:53-104`): given a camera and surfel render params, produce
+color/normal/depth/opacity maps. Outputs are channel-last (H, W, C) —
+TPU lane-friendly — where the reference returns (C, H, W) and permutes at
+every call site.
+
+Backends:
+  "xla"    — golden depth-sorted compositor (`ops.raster_xla`), exact,
+             O(N*H*W); default on CPU/tests.
+  "pallas" — tile-binned Pallas TPU kernel (`ops.raster_pallas`);
+             default on TPU.
+"""
+from __future__ import annotations
+
+import jax
+
+from eggfusion_tpu.ops.raster_xla import render_xla
+
+
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    except Exception:
+        return "xla"
+
+
+class Renderer:
+    def __init__(self, cfg, backend: str | None = None):
+        surfel = cfg.Surfel
+        self.max_sh_degree = int(surfel.max_sh_degree)
+        active = int(surfel.active_sh_degree)
+        self.active_sh_degree = self.max_sh_degree if active < 0 else active
+        self.backend = backend or str(cfg.System.get("render_backend", "")) or _default_backend()
+
+    def render(self, frame, params: dict) -> dict:
+        """Render `params` from `frame`'s current pose estimate."""
+        return self.render_at(params, frame.w2c_matrix(), frame.intr, frame.width, frame.height)
+
+    def render_at(self, params: dict, w2c, intr, width: int, height: int) -> dict:
+        if self.backend == "pallas":
+            from eggfusion_tpu.ops.raster_pallas import render_pallas
+
+            return render_pallas(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
+        return render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)

@@ -1,0 +1,76 @@
+"""Sparse feature-based pose initializer.
+
+Replaces the reference's ORB-SLAM2 C++ frontend (`/root/reference/src/core/
+tracker.py:85-122`, submodule N3): the dense tracker only needs a *delta
+seed* (`tracker.py:147-151`), so a lightweight ORB + depth-PnP visual
+odometer is sufficient — and keeps the whole stack free of the ORB-SLAM2
+build. Runs on host CPU (like ORB-SLAM2 did), overlapped with device work.
+
+Pipeline per frame: ORB keypoints/descriptors -> ratio-test matching against
+the previous keyframe -> 3D-2D PnP RANSAC using the previous frame's depth ->
+w2c pose chained onto the previous estimate. Falls back to None (caller uses
+the motion model) when matching fails.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class SparseInitializer:
+    def __init__(self, cfg):
+        if cv2 is None:
+            raise RuntimeError("SparseInitializer requires OpenCV")
+        n_features = int(cfg.Tracking.get("orb_features", 1500))
+        self.orb = cv2.ORB_create(nfeatures=n_features)
+        self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=False)
+        self.prev = None  # (kps, desc, depth, w2c)
+        calib = cfg.Dataset.Calibration
+        self.K = np.array(
+            [[calib.fx, 0, calib.cx], [0, calib.fy, calib.cy], [0, 0, 1]], np.float64
+        )
+        self.min_matches = int(cfg.Tracking.get("orb_min_matches", 25))
+
+    def track(self, frame) -> np.ndarray | None:
+        """Returns the estimated w2c 4x4 for `frame`, or None on failure."""
+        gray = (np.asarray(frame.pyramid[0].intensity)[..., 0] * 255).astype(np.uint8)
+        depth = np.asarray(frame.depth)[..., 0]
+        kps, desc = self.orb.detectAndCompute(gray, None)
+
+        result = None
+        if self.prev is not None and desc is not None and self.prev[1] is not None:
+            kps0, desc0, depth0, w2c0 = self.prev
+            matches = self.matcher.knnMatch(desc0, desc, k=2)
+            good = [m for m, n in (p for p in matches if len(p) == 2) if m.distance < 0.75 * n.distance]
+            if len(good) >= self.min_matches:
+                pts3d, pts2d = [], []
+                fx, fy = self.K[0, 0], self.K[1, 1]
+                cx, cy = self.K[0, 2], self.K[1, 2]
+                for m in good:
+                    u0, v0 = kps0[m.queryIdx].pt
+                    d = depth0[int(round(v0)), int(round(u0))]
+                    if d <= 0.1 or d > 20.0:
+                        continue
+                    # back-project into the PREVIOUS camera frame
+                    pts3d.append([(u0 - cx) * d / fx, (v0 - cy) * d / fy, d])
+                    pts2d.append(kps[m.trainIdx].pt)
+                if len(pts3d) >= self.min_matches:
+                    ok, rvec, tvec, inliers = cv2.solvePnPRansac(
+                        np.asarray(pts3d, np.float64), np.asarray(pts2d, np.float64),
+                        self.K, None, reprojectionError=3.0, iterationsCount=100,
+                    )
+                    if ok and inliers is not None and len(inliers) >= self.min_matches // 2:
+                        R, _ = cv2.Rodrigues(rvec)
+                        delta = np.eye(4)
+                        delta[:3, :3] = R
+                        delta[:3, 3] = tvec[:, 0]
+                        # delta maps prev-camera coords -> curr-camera coords
+                        result = (delta @ np.asarray(w2c0, np.float64)).astype(np.float32)
+
+        w2c_for_state = result if result is not None else np.asarray(frame.w2c_matrix(), np.float64)
+        self.prev = (kps, desc, depth, w2c_for_state)
+        return result

@@ -1,0 +1,343 @@
+"""RGB-D dataset loaders: TUM, Replica, ScanNet++, Azure Kinect, synthetic.
+
+Equivalent of the reference `src/utils/dataset.py` (parsers, undistortion,
+prefetch). Redesigns:
+  * Prefetch uses a daemon thread + bounded queue instead of a spawned
+    process + QQueue (`dataset.py:74-93`) — image decode releases the GIL and
+    overlaps with device compute, with no multiprocessing spawn cost.
+  * The synthetic corner-scene dataset provides a zero-download fixture with
+    exact GT (the reference has no such path).
+
+Parser semantics preserved: TUM timestamp association (max_dt 0.08, 32-fps
+culling, `dataset.py:132-140`), pose re-basing so frame 0 = identity with the
+pivot kept (`dataset.py:157-161`), ScanNet++ axis flip (`dataset.py:259-262`).
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import queue
+import threading
+from typing import Iterator
+
+import numpy as np
+
+from eggfusion_tpu.geometry.camera import CameraIntrinsics, focal2fov, projection_matrix_fov
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+try:
+    from PIL import Image
+except Exception:  # pragma: no cover
+    Image = None
+
+
+class RGBDDataset:
+    """Base dataset: calibration, undistortion, threaded prefetch."""
+
+    def __init__(self, config):
+        self.config = config
+        calib = config.Dataset.Calibration
+        self.intrinsics = CameraIntrinsics(
+            fx=float(calib.fx), fy=float(calib.fy), cx=float(calib.cx), cy=float(calib.cy),
+            width=int(calib.width), height=int(calib.height),
+        )
+        self.depth_scale = float(calib.depth_scale)
+        self.projmat = projection_matrix_fov(
+            0.01, 100.0, self.intrinsics.fovx, self.intrinsics.fovy
+        ).T  # pre-transposed, reference `dataset.py:39-44`
+
+        K = np.array(
+            [[calib.fx, 0, calib.cx], [0, calib.fy, calib.cy], [0, 0, 1]], np.float64
+        )
+        dist = np.array(
+            [calib.get("k1", 0.0), calib.get("k2", 0.0), calib.get("p1", 0.0),
+             calib.get("p2", 0.0), calib.get("k3", 0.0)], np.float64
+        )
+        self._distorted = bool(np.any(dist != 0))
+        if self._distorted and cv2 is not None:
+            self.xymap = cv2.initUndistortRectifyMap(
+                K, dist, np.eye(3), K, (self.intrinsics.width, self.intrinsics.height), cv2.CV_32FC1
+            )
+            self.mask = (
+                (self.xymap[0] > 0)
+                & (self.xymap[1] > 0)
+                & (self.xymap[0] < self.intrinsics.width)
+                & (self.xymap[1] < self.intrinsics.height)
+            )
+        else:
+            self.xymap = None
+            self.mask = np.ones((self.intrinsics.height, self.intrinsics.width), bool)
+
+        self.pivot = np.eye(4)
+        self._queue: queue.Queue | None = None
+        # filled by subclasses
+        self.color_paths: list = []
+        self.depth_paths: list = []
+        self.poses: list = []
+        self.ts: list = []
+        self.n_imgs = 0
+
+    # -- prefetch -------------------------------------------------------------
+
+    def start_prefetch(self, buffer_size: int = 8) -> None:
+        self._queue = queue.Queue(maxsize=buffer_size)
+
+        def worker():
+            for i in range(self.n_imgs):
+                self._queue.put(self[i])
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+
+    def get_buffer_frame(self):
+        assert self._queue is not None, "call start_prefetch() first"
+        return self._queue.get()
+
+    # -- item access ----------------------------------------------------------
+
+    def _read_image(self, path: str) -> np.ndarray:
+        return np.array(Image.open(path))
+
+    def __getitem__(self, idx: int):
+        color = self._read_image(self.color_paths[idx])
+        if self.xymap is not None:
+            color = cv2.remap(color, self.xymap[0], self.xymap[1], cv2.INTER_LINEAR)
+        depth = self._read_image(self.depth_paths[idx])
+        return self.ts[idx], color, depth, self.mask[..., None], self.poses[idx]
+
+    def __len__(self) -> int:
+        return self.n_imgs
+
+    def frames(self) -> Iterator:
+        for i in range(len(self)):
+            yield self[i]
+
+
+# ---------------------------------------------------------------------- TUM --
+
+
+class TUMDataset(RGBDDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        root = config.Dataset.dataset_path
+        image_data = np.loadtxt(os.path.join(root, "rgb.txt"), delimiter=" ", dtype=np.str_)
+        depth_data = np.loadtxt(os.path.join(root, "depth.txt"), delimiter=" ", dtype=np.str_)
+        pose_data = np.loadtxt(os.path.join(root, "groundtruth.txt"), delimiter=" ", dtype=np.str_, skiprows=1).astype(np.float64)
+
+        t_img = image_data[:, 0].astype(np.float64)
+        t_dep = depth_data[:, 0].astype(np.float64)
+        t_pose = pose_data[:, 0].astype(np.float64)
+        assoc = self._associate(t_img, t_dep, t_pose)
+
+        # 32-fps frame culling (reference `dataset.py:134-140`)
+        keep = [0]
+        for i in range(1, len(assoc)):
+            if t_img[assoc[i][0]] - t_img[assoc[keep[-1]][0]] > 1.0 / 32:
+                keep.append(i)
+
+        from scipy.spatial.transform import Rotation
+
+        for ix in keep:
+            i, j, k = assoc[ix]
+            self.color_paths.append(os.path.join(root, image_data[i, 1]))
+            self.depth_paths.append(os.path.join(root, depth_data[j, 1]))
+            trans, quat = pose_data[k, 1:4], pose_data[k, 4:]
+            c2w = np.eye(4)
+            c2w[:3, :3] = Rotation.from_quat(quat).as_matrix()
+            c2w[:3, 3] = trans
+            self.poses.append(np.linalg.inv(c2w))  # w2c
+            self.ts.append(t_img[i])
+
+        init_w2c = self.poses[0]
+        self.poses = [p @ np.linalg.inv(init_w2c) for p in self.poses]
+        self.pivot = init_w2c
+        self.n_imgs = len(self.color_paths)
+
+    @staticmethod
+    def _associate(t_img, t_dep, t_pose, max_dt: float = 0.08):
+        assoc = []
+        for i, t in enumerate(t_img):
+            j = int(np.argmin(np.abs(t_dep - t)))
+            k = int(np.argmin(np.abs(t_pose - t)))
+            if abs(t_dep[j] - t) < max_dt and abs(t_pose[k] - t) < max_dt:
+                assoc.append((i, j, k))
+        return assoc
+
+
+# ------------------------------------------------------------------ Replica --
+
+
+class ReplicaDataset(RGBDDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        root = config.Dataset.dataset_path
+        self.color_paths = sorted(glob.glob(f"{root}/results/frame*.jpg"))
+        self.depth_paths = sorted(glob.glob(f"{root}/results/depth*.png"))
+        with open(os.path.join(root, "traj.txt")) as f:
+            lines = f.readlines()
+        self.poses = [np.linalg.inv(np.array(list(map(float, l.split()))).reshape(4, 4)) for l in lines]
+        self.poses = self.poses[: len(self.color_paths)]
+        init_w2c = self.poses[0]
+        self.poses = [p @ np.linalg.inv(init_w2c) for p in self.poses]
+        self.pivot = init_w2c
+        self.n_imgs = len(self.color_paths)
+        self.ts = list(np.arange(self.n_imgs) * 0.05)
+
+
+# ---------------------------------------------------------------- ScanNet++ --
+
+
+class ScanNetPPDataset(RGBDDataset):
+    def __init__(self, config, test: bool = False):
+        super().__init__(config)
+        root = config.Dataset.dataset_path
+        all_color = sorted(glob.glob(f"{root}/dslr/undistorted_images/*.JPG"))
+        all_depth = sorted(glob.glob(f"{root}/dslr/undistorted_depths/*.png"))
+
+        poses, ok = {}, {}
+        with open(os.path.join(root, "dslr/nerfstudio", "transforms_undistorted.json")) as f:
+            data = json.load(f)
+        for item in data["frames"] + data.get("test_frames", []):
+            key = os.path.splitext(os.path.basename(item["file_path"]))[0]
+            poses[key] = np.array(item["transform_matrix"]).reshape(4, 4)
+            ok[key] = not item.get("is_bad", False)
+
+        with open(os.path.join(root, "dslr/train_test_lists.json")) as f:
+            lists = json.load(f)
+        names = sorted(os.path.splitext(os.path.basename(p))[0] for p in lists["test" if test else "train"])
+        names = [n for n in names if ok.get(n, False)]
+
+        # axis-flip convention (reference `dataset.py:259-262`)
+        flip = np.array([[0, 1, 0, 0], [1, 0, 0, 0], [0, 0, -1, 0], [0, 0, 0, 1]], np.float64)
+        for k in poses:
+            v = poses[k].copy()
+            v[:, 1:3] *= -1
+            poses[k] = flip @ v
+
+        sel = set(names)
+        self.color_paths = [p for p in all_color if os.path.splitext(os.path.basename(p))[0] in sel]
+        self.depth_paths = [p for p in all_depth if os.path.splitext(os.path.basename(p))[0] in sel]
+        init_c2w = poses[names[0]]
+        self.poses = [np.linalg.inv(poses[n]) @ init_c2w for n in names]
+        self.pivot = np.linalg.inv(init_c2w)
+        self.n_imgs = len(self.color_paths)
+        self.ts = list(np.arange(self.n_imgs) * 0.05)
+
+    def __getitem__(self, idx: int):
+        ts, color, depth, mask, pose = super().__getitem__(idx)
+        if color.shape[0] != self.intrinsics.height and cv2 is not None:
+            color = cv2.resize(color, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(depth, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_NEAREST)
+        return ts, color, depth, mask, pose
+
+
+# ------------------------------------------------------------------- Azure --
+
+
+class AzureKinectDataset(RGBDDataset):
+    def __init__(self, config):
+        super().__init__(config)
+        root = config.Dataset.dataset_path
+        self.color_paths = sorted(glob.glob(f"{root}/color/*.jpg"))
+        self.depth_paths = sorted(glob.glob(f"{root}/depth/*.png"))
+        assert len(self.color_paths) == len(self.depth_paths)
+        self.n_imgs = len(self.color_paths)
+        self.poses = [np.eye(4) for _ in range(self.n_imgs)]
+        self.ts = list(np.arange(self.n_imgs) * 0.05)
+
+    def __getitem__(self, idx: int):
+        color = self._read_image(self.color_paths[idx])
+        depth = self._read_image(self.depth_paths[idx])
+        if cv2 is not None:
+            color = cv2.resize(color, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(depth, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_NEAREST)
+        mask = np.ones((self.intrinsics.height, self.intrinsics.width, 1), bool)
+        return self.ts[idx], color, depth, mask, self.poses[idx]
+
+
+class AzureKinectLive(RGBDDataset):  # pragma: no cover - requires hardware
+    """Live Azure Kinect capture (reference `AzureKinectLive`,
+    `dataset.py:346-410`). Requires pyk4a; raises a clear error otherwise."""
+
+    def __init__(self, config):
+        try:
+            import pyk4a
+            from pyk4a import Config as K4AConfig, PyK4A
+        except ImportError as e:
+            raise RuntimeError("AzureKinectLive requires pyk4a") from e
+        super().__init__(config)
+        self.k4a = PyK4A(K4AConfig(
+            color_resolution=pyk4a.ColorResolution.RES_720P,
+            depth_mode=pyk4a.DepthMode.WFOV_2X2BINNED,
+        ))
+        self.k4a.start()
+        self.n_imgs = int(config.Dataset.get("max_frames", 10_000))
+        self.depth_scale = 1000.0
+
+    def __getitem__(self, idx: int):
+        capture = self.k4a.get_capture()
+        image = capture.color[:, :, 2::-1].copy()
+        depth = capture.transformed_depth
+        ts = capture.color_timestamp_usec / 1e6
+        image = cv2.resize(image, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_LINEAR)
+        depth = cv2.resize(depth, (self.intrinsics.width, self.intrinsics.height), interpolation=cv2.INTER_NEAREST)
+        mask = np.ones((self.intrinsics.height, self.intrinsics.width, 1), bool)
+        return ts, image, depth, mask, np.eye(4)
+
+
+# ---------------------------------------------------------------- synthetic --
+
+
+class SyntheticDataset(RGBDDataset):
+    """Analytic corner-scene sequence with exact GT (see data.synthetic)."""
+
+    def __init__(self, config):
+        super().__init__(config)
+        from eggfusion_tpu.data import synthetic as syn
+
+        n = int(config.Dataset.get("n_frames", 30))
+        self.seq = syn.SyntheticSequence(
+            intr=self.intrinsics,
+            poses_w2c=syn.make_trajectory(n),
+            timestamps=np.arange(n) * 0.05,
+        )
+        self.n_imgs = n
+        self.poses = list(self.seq.poses_w2c)
+        self.ts = list(self.seq.timestamps)
+        self.depth_scale = 1.0
+        self._syn = syn
+
+    def __getitem__(self, idx: int):
+        color, depth = self._syn.render_corner_scene_jit(self.intrinsics, self.poses[idx])
+        color_u8 = (np.asarray(color) * 255).astype(np.uint8)
+        depth_f = np.asarray(depth)[..., 0]
+        mask = np.ones((self.intrinsics.height, self.intrinsics.width, 1), bool)
+        return self.ts[idx], color_u8, depth_f, mask, self.poses[idx]
+
+
+def load_dataset(config, test: bool = False) -> RGBDDataset:
+    """Factory (reference `load_dataset`, `dataset.py:414-426`)."""
+    kind = config.Dataset.type
+    ds: RGBDDataset
+    if kind == "tum":
+        ds = TUMDataset(config)
+    elif kind == "replica":
+        ds = ReplicaDataset(config)
+    elif kind == "scannetpp":
+        ds = ScanNetPPDataset(config, test)
+    elif kind == "azure":
+        ds = AzureKinectDataset(config)
+    elif kind == "kinect_live":
+        ds = AzureKinectLive(config)
+    elif kind == "synthetic":
+        ds = SyntheticDataset(config)
+    else:
+        raise ValueError(f"Unknown dataset type: {kind}")
+    if bool(config.Dataset.get("preload", True)):
+        ds.start_prefetch()
+    return ds

@@ -1,0 +1,79 @@
+"""CLI driver (reference `/root/reference/main.py`).
+
+Usage:
+    python -m eggfusion_tpu.main --config configs/replica/office0.yaml
+    python -m eggfusion_tpu.main --synthetic --frames 30   # no dataset needed
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def build_frame(dataset, fid: int, preload: bool):
+    from eggfusion_tpu.core.frame import Frame
+
+    ts, color, depth, mask, gt_pose = dataset.get_buffer_frame() if preload else dataset[fid]
+    return Frame(
+        uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
+        gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
+        projmat=dataset.projmat,
+    )
+
+
+def run(cfg, max_frames: int | None = None, verbose: bool = False):
+    from eggfusion_tpu.data.datasets import load_dataset
+    from eggfusion_tpu.system import EGGFusion
+
+    dataset = load_dataset(cfg)
+    ef = EGGFusion(cfg)
+
+    n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
+    preload = bool(cfg.Dataset.get("preload", True))
+    t_start = time.perf_counter()
+    for fid in range(n):
+        frame = build_frame(dataset, fid, preload)
+        ef.reconstruct(frame)
+        if verbose or fid % 25 == 0:
+            m = ef.metrics[-1]
+            print(
+                f"frame {fid}/{n}  track {m['track_ms']:.1f}ms  map {m['map_ms']:.1f}ms  "
+                f"post {m['post_ms']:.1f}ms  surfels {m['surfels']}"
+            )
+    wall = time.perf_counter() - t_start
+    print(f"Processed {n} frames in {wall:.2f}s ({n / wall:.2f} FPS)")
+
+    ef.finish()
+    if cfg.System.eval_tracking:
+        ef.evaluate_trajectory()
+    if cfg.System.get("eval_render", False):
+        ef.evaluate_render()
+    return ef
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="EggFusion-TPU RGB-D dense SLAM")
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--synthetic", action="store_true", help="run the built-in synthetic sequence")
+    parser.add_argument("--frames", type=int, default=None, help="limit number of frames")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args(argv)
+
+    from eggfusion_tpu import config as cfglib
+
+    if args.config:
+        cfg = cfglib.load_config(args.config)
+    elif args.synthetic:
+        cfg = cfglib.default_config()
+        cfg.System.save_dir = "results/synthetic_run"
+    else:
+        parser.error("either --config or --synthetic is required")
+
+    run(cfg, max_frames=args.frames, verbose=args.verbose)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -90,7 +90,9 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
     # view-dependent color
     cam_center = -(R.T @ t)
     dirs = xyz - cam_center
-    dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8)
+    # safe normalization: sqrt(sum + eps) keeps the gradient finite for
+    # degenerate (inactive, zero-positioned) surfels
+    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
     shs = jnp.swapaxes(params["shs"], -2, -1)  # (N, 3, K)
     color = shlib.eval_sh(sh_degree, shs, dirs)
     color = jnp.maximum(color + 0.5, 0.0)  # 3DGS convention: SH + 0.5, clipped

@@ -1,0 +1,300 @@
+"""System orchestrator: the per-frame reconstruct pipeline.
+
+TPU-native equivalent of the reference `EGGFusion` (`/root/reference/src/
+system.py`): reconstruct(frame) = track -> preprocess -> map -> postprocess ->
+trajectory bookkeeping; finish() runs the global keyframe optimization and
+exports the map; evaluate_trajectory() computes the cumulative ATE curve and
+plots. `evaluate_render()` additionally wires up the render metrics the
+reference implemented but never invoked (`eval_utils.py:93-109`, SURVEY.md §5).
+
+Both preprocess and postprocess are single jitted XLA programs; the host loop
+only routes arrays and makes the (scalar) keyframe/convergence decisions.
+"""
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eggfusion_tpu.core.frame import Frame
+from eggfusion_tpu.core.mapper import Mapping
+from eggfusion_tpu.core.renderer import Renderer
+from eggfusion_tpu.core.tracker import Tracker
+from eggfusion_tpu.geometry import transforms as tf
+from eggfusion_tpu.io import checkpoint as ckpt
+from eggfusion_tpu.io import ply as plyio
+from eggfusion_tpu.ops import image as imops
+from eggfusion_tpu.ops.pyramid import build_pyramid
+from eggfusion_tpu.utils import eval as evalu
+
+
+@functools.partial(jax.jit, static_argnames=("reco_normal_thres",))
+def preprocess_frame_map(color, depth, vmap, nmap, mask, intr, c2w, reco_normal_thres: float):
+    """Build the frame_map (reference `EGGFusion.preprocess`,
+    `system.py:83-125`): depth-gradient edge mask (>0.1), incident-angle
+    grazing mask, invalid zeroing, radial confidence, world-frame maps."""
+    gx, gy = imops.diff_gradients(depth)
+    edge_mask = jnp.sqrt(gx**2 + gy**2) > 0.1
+
+    similarity = tf.compute_incident_angle(nmap, intr)[..., 0]
+    normal_mask = similarity < jnp.sin(jnp.deg2rad(reco_normal_thres))
+
+    inf_mask = jnp.any(jnp.isinf(nmap), axis=-1)
+    invalid = normal_mask | jnp.all(nmap == 0, axis=-1) | edge_mask | inf_mask
+
+    depth = jnp.where(invalid[..., None], 0.0, depth)
+    nmap = jnp.where(invalid[..., None], 0.0, nmap)
+    vmap = jnp.where(invalid[..., None], 0.0, vmap)
+
+    H, W = depth.shape[:2]
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32), indexing="ij")
+    coords = jnp.stack([xs, ys], axis=-1)
+    conf = tf.compute_confidence(coords, intr[2:4], 400.0, 0.72)
+
+    R = c2w[:3, :3]
+    t = c2w[:3, 3]
+    t0 = jnp.zeros(3)
+    return {
+        "color_map": color,
+        "depth_map": depth,
+        "vertex_map_c": vmap,
+        "normal_map_c": nmap,
+        "confidence_map": conf,
+        "rgb_mask": mask > 0.5,
+        "geo_mask": ~invalid[..., None],
+        "vertex_map_w": tf.transform_map(vmap, R, t),
+        "normal_map_w": tf.transform_map(nmap, R, t0),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("reco_normal_thres", "reco_depth_thres", "reco_opacity_thres", "depth_min", "depth_max", "nlevel"))
+def postprocess_model_map(rendered: dict, frame_map: dict, intr, w2c,
+                          reco_normal_thres: float, reco_depth_thres: float,
+                          reco_opacity_thres: float, depth_min: float, depth_max: float,
+                          nlevel: int):
+    """Consistency masks + fill-in + next-frame tracking pyramid (reference
+    `EGGFusion.postprocess`, `system.py:51-81`, fused with the model-pyramid
+    build the reference redoes inside the tracker, `tracker.py:136-143`)."""
+    n1 = frame_map["normal_map_c"]
+    n2 = rendered["render_normal"]
+    cos = jnp.sum(n1 * n2, axis=-1) / (
+        jnp.linalg.norm(n1, axis=-1) * jnp.linalg.norm(n2, axis=-1) + 1e-8
+    )
+    angle = jnp.degrees(jnp.arccos(jnp.clip(cos, -1 + 1e-7, 1 - 1e-7)))
+    normal_mask = angle < reco_normal_thres
+
+    d1 = frame_map["depth_map"]
+    d2 = rendered["render_depth"]
+    depth_range = (d2 > depth_min) & (d2 < depth_max)
+    depth_mask = (jnp.abs(d1 - d2) < reco_depth_thres) & frame_map["geo_mask"] & depth_range
+    opacity_mask = rendered["render_opacity"][..., 0] > reco_opacity_thres
+    valid = normal_mask & depth_mask[..., 0] & opacity_mask
+
+    color = jnp.where(valid[..., None], rendered["render_color"], frame_map["color_map"])
+    depth = jnp.where(valid[..., None], rendered["render_depth"], frame_map["depth_map"])
+
+    pyramid = build_pyramid(color, depth, opacity_mask[..., None].astype(jnp.float32), intr, nlevel=nlevel)
+    return {
+        "rendered_color": color,
+        "rendered_depth": depth,
+        "mask": valid,
+        "opacity_mask": opacity_mask,
+        "transform": w2c,
+        "pyramid": pyramid,
+    }
+
+
+class EGGFusion:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        self.renderer = Renderer(cfg)
+        self.tracker = Tracker(cfg)
+        self.mapper = Mapping(cfg, self.renderer)
+        self.frame_map = None
+        self.model_map = None
+
+        s = cfg.System
+        self.save_dir = s.get("save_dir", "") or "results/run"
+        self.final_global_opt = bool(s.final_global_opt)
+        self.reco_normal_thres = float(s.reco_normal_threshold)
+        self.reco_depth_thres = float(s.reco_depth_threshold)
+        self.reco_opacity_thres = float(s.reco_opacity_threshold)
+        self.depth_range_min = float(s.depth_range_min)
+        self.depth_range_max = float(s.depth_range_max)
+        self.nlevel = int(cfg.Tracking.pyramid_level)
+
+        self.traj = {"ts": [], "ref": [], "est": []}
+        self.metrics = []  # per-frame observability records
+
+    # ---- per-frame pipeline -------------------------------------------------
+
+    def reconstruct(self, frame: Frame) -> None:
+        t0 = _time.perf_counter()
+        self.tracker.tracking(frame, self.model_map)
+        t1 = _time.perf_counter()
+        self.preprocess(frame)
+        self.mapper.mapping(frame, self.frame_map)
+        t2 = _time.perf_counter()
+        self.postprocess(frame)
+        t3 = _time.perf_counter()
+        self.append_trajectory(frame)
+        self.metrics.append(
+            {
+                "frame": frame.uid,
+                "track_ms": (t1 - t0) * 1e3,
+                "map_ms": (t2 - t1) * 1e3,
+                "post_ms": (t3 - t2) * 1e3,
+                "surfels": int(self.mapper.surfels.num_active()),
+            }
+        )
+
+    def preprocess(self, frame: Frame) -> None:
+        p0 = frame.pyramid[0]
+        self.frame_map = preprocess_frame_map(
+            frame.color, frame.depth, p0.vertex, p0.normal, frame.mask,
+            frame.intr, frame.c2w_matrix(), self.reco_normal_thres,
+        )
+
+    def postprocess(self, frame: Frame) -> None:
+        rendered = self.mapper.get_render_output(frame)
+        self.model_map = postprocess_model_map(
+            rendered, self.frame_map, frame.intr, frame.w2c_matrix(),
+            self.reco_normal_thres, self.reco_depth_thres, self.reco_opacity_thres,
+            self.depth_range_min, self.depth_range_max, self.nlevel,
+        )
+
+    def append_trajectory(self, frame: Frame) -> None:
+        self.traj["ts"].append(frame.ts)
+        self.traj["ref"].append(np.asarray(frame.c2w_matrix(gt=True)))
+        self.traj["est"].append(np.asarray(frame.c2w_matrix()))
+
+    # ---- finalization -------------------------------------------------------
+
+    def finish(self) -> None:
+        print("Finishing...")
+        ids = self.mapper.keyframe_manager.ids()
+        print(f"Keyframe IDs: {ids}")
+        if self.final_global_opt:
+            self.mapper.keyframe_optimization()
+        os.makedirs(self.save_dir, exist_ok=True)
+        self.save_ply(os.path.join(self.save_dir, "final_surfels.ply"))
+        ckpt.save_checkpoint(
+            os.path.join(self.save_dir, "checkpoint.npz"),
+            self.mapper.surfels,
+            extra={
+                "traj_ref": np.asarray(self.traj["ref"]),
+                "traj_est": np.asarray(self.traj["est"]),
+                "ts": np.asarray(self.traj["ts"]),
+            },
+        )
+
+    def save_ply(self, path: str) -> None:
+        s = self.mapper.surfels
+        act = np.asarray(s.active)
+        plyio.save_ply(
+            path,
+            np.asarray(s.xyz)[act],
+            np.asarray(s.features_dc)[act],
+            np.asarray(s.features_rest)[act],
+            np.asarray(s.scaling)[act],
+            np.asarray(s.rotation)[act],
+            np.asarray(s.opacity)[act],
+        )
+        print(f"Saved surfels to {path}")
+
+    def reload(self, path: str) -> None:
+        """Load a PLY map back (reference `EGGFusion.reload`, `system.py:140`)."""
+        data = plyio.load_ply(path)
+        s = self.mapper.surfels
+        n = len(data["xyz"])
+        cap = s.capacity
+        n = min(n, cap)
+
+        def put(dst, src):
+            return dst.at[:n].set(jnp.asarray(src[:n], jnp.float32))
+
+        self.mapper.surfels = s.replace(
+            xyz=put(s.xyz, data["xyz"]),
+            features_dc=put(s.features_dc, data["features_dc"]),
+            features_rest=put(s.features_rest, data["features_rest"]) if data["features_rest"].shape[1] == s.features_rest.shape[1] else s.features_rest,
+            scaling=put(s.scaling, data["scaling"]),
+            rotation=put(s.rotation, data["rotation"]),
+            opacity=put(s.opacity, data["opacity"]),
+            active=s.active.at[:n].set(True),
+            count=jnp.int32(n),
+        )
+        print(f"Reloaded {n} surfels from {path}")
+
+    # ---- evaluation ---------------------------------------------------------
+
+    def evaluate_trajectory(self, plot: bool = True) -> float:
+        os.makedirs(self.save_dir, exist_ok=True)
+        ref = np.asarray(self.traj["ref"])
+        est = np.asarray(self.traj["est"])
+        ts = self.traj["ts"]
+
+        tum_ref = [evalu.matrix_to_tum(t, m) for t, m in zip(ts, ref)]
+        tum_est = [evalu.matrix_to_tum(t, m) for t, m in zip(ts, est)]
+        np.savetxt(os.path.join(self.save_dir, "trajectory_ref_tum.txt"), tum_ref)
+        np.savetxt(os.path.join(self.save_dir, "trajectory_est_tum.txt"), tum_est)
+        np.savetxt(os.path.join(self.save_dir, "trajectory_ref.txt"), ref.reshape(-1, 16))
+        np.savetxt(os.path.join(self.save_dir, "trajectory_est.txt"), est.reshape(-1, 16))
+
+        ates = [
+            evalu.ate_rmse(ref[:fid, :3, 3], est[:fid, :3, 3]) for fid in range(1, len(ref) + 1)
+        ]
+        ate = ates[-1]
+
+        if plot:
+            try:
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure()
+                plt.plot(ates)
+                plt.title(f"ate:{ate}")
+                plt.savefig(os.path.join(self.save_dir, "ates.png"))
+                for a, b, name in [(0, 1, "xy"), (1, 2, "yz"), (0, 2, "xz")]:
+                    plt.figure()
+                    plt.plot(est[:, a, 3], est[:, b, 3])
+                    plt.plot(ref[:, a, 3], ref[:, b, 3])
+                    plt.legend(["es", "gt"])
+                    plt.savefig(os.path.join(self.save_dir, f"traj_{name}.jpg"))
+                plt.close("all")
+            except Exception as e:  # headless plotting is best-effort
+                print(f"plotting skipped: {e}")
+
+        print(f"ATE RMSE: {ate:.05f}cm")
+        return ate
+
+    def evaluate_render(self) -> dict:
+        """Render metrics over the keyframe set (wiring the reference's dead
+        `eval_render` flag)."""
+        results = []
+        for kf in self.mapper.keyframe_manager.keyframes.values():
+            out = self.mapper._render_model(
+                self.mapper.surfels, jnp.asarray(kf.w2c), jnp.asarray(kf.intr), kf.width, kf.height
+            )
+            r = evalu.eval_render(
+                kf.maps["color"], kf.maps["depth"], np.asarray(out["color"]), np.asarray(out["depth"])
+            )
+            results.append(r)
+        if not results:
+            return {}
+
+        def nanmean(vals):
+            vals = [v for v in vals if np.isfinite(v)]
+            return float(np.mean(vals)) if vals else float("nan")
+
+        agg = {k: nanmean([r[k] for r in results]) for k in results[0]}
+        with open(os.path.join(self.save_dir, "render_metrics.json"), "w") as f:
+            json.dump({"per_keyframe": results, "mean": agg}, f, indent=2)
+        print("Render metrics:", agg)
+        return agg

@@ -1,0 +1,127 @@
+"""Trajectory and render evaluation.
+
+Equivalent of the reference `src/utils/eval_utils.py`:
+  ate_rmse           <- `eval_traj_func` (Horn closed-form alignment, x100 cm,
+                        `eval_utils.py:44-88`)
+  matrix_to_tum      <- `matrix_to_tum_format` (`eval_utils.py:34-42`)
+  eval_render        <- `eval_render_func` PSNR / SSIM / depth-L1
+                        (`eval_utils.py:93-109`) — and actually WIRED into the
+                        pipeline, which the reference never did (its
+                        `eval_render` config flag is dangling, SURVEY.md §5).
+
+LPIPS requires a pretrained AlexNet; it is provided when torch +
+torchmetrics weights are available locally, else reported as NaN (zero-egress
+environments cannot download weights).
+"""
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial.transform import Rotation
+
+
+def horn_align(model: np.ndarray, data: np.ndarray):
+    """Closed-form Horn alignment of two (3, N) trajectories.
+
+    Returns (rot, trans, per-point translational error)."""
+    model_c = model - model.mean(axis=1, keepdims=True)
+    data_c = data - data.mean(axis=1, keepdims=True)
+    W = model_c @ data_c.T
+    U, _, Vh = np.linalg.svd(W.T)
+    S = np.eye(3)
+    if np.linalg.det(U) * np.linalg.det(Vh) < 0:
+        S[2, 2] = -1
+    rot = U @ S @ Vh
+    trans = data.mean(axis=1, keepdims=True) - rot @ model.mean(axis=1, keepdims=True)
+    err = rot @ model + trans - data
+    return rot, trans, np.sqrt(np.sum(err * err, axis=0))
+
+
+def ate_rmse(poses_ref: np.ndarray, poses_est: np.ndarray) -> float:
+    """ATE RMSE in centimeters (reference scaling x100, `eval_utils.py:87`).
+
+    poses_*: (N, 3) translations."""
+    est = np.asarray(poses_est, np.float64).T
+    ref = np.asarray(poses_ref, np.float64).T
+    _, _, err = horn_align(est, ref)
+    return float(np.sqrt(err @ err / len(err)) * 100.0)
+
+
+def matrix_to_tum(ts: float, matrix: np.ndarray) -> list:
+    q = Rotation.from_matrix(matrix[:3, :3]).as_quat()
+    p = matrix[:3, 3]
+    return [ts, p[0], p[1], p[2], q[0], q[1], q[2], q[3]]
+
+
+def psnr(est: np.ndarray, ref: np.ndarray, mask: np.ndarray | None = None) -> float:
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    if mask is not None:
+        m = np.broadcast_to(np.asarray(mask, bool), est.shape)
+        diff2 = ((est - ref) ** 2)[m]
+    else:
+        diff2 = (est - ref) ** 2
+    mse = float(diff2.mean()) if diff2.size else float("nan")
+    if mse <= 0:
+        return float("inf")
+    return float(10.0 * np.log10(1.0 / mse))
+
+
+def ssim(est: np.ndarray, ref: np.ndarray) -> float:
+    """Single-scale SSIM with an 11x11 Gaussian window (standard constants)."""
+    from scipy.ndimage import gaussian_filter
+
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+    C1, C2 = 0.01**2, 0.03**2
+    sig = 1.5
+
+    def f(x):
+        return gaussian_filter(x, sigma=(sig, sig, 0) if x.ndim == 3 else sig)
+
+    mu1, mu2 = f(est), f(ref)
+    mu1s, mu2s, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = f(est * est) - mu1s
+    s2 = f(ref * ref) - mu2s
+    s12 = f(est * ref) - mu12
+    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / ((mu1s + mu2s + C1) * (s1 + s2 + C2))
+    return float(m.mean())
+
+
+def depth_l1(est: np.ndarray, ref: np.ndarray, mask: np.ndarray | None = None) -> float:
+    est = np.asarray(est, np.float64).squeeze()
+    ref = np.asarray(ref, np.float64).squeeze()
+    m = ref > 0 if mask is None else (np.asarray(mask, bool).squeeze() & (ref > 0))
+    if not m.any():
+        return float("nan")
+    return float(np.abs(est - ref)[m].mean())
+
+
+def eval_render(ref_color, ref_depth, est_color, est_depth) -> dict:
+    """PSNR / SSIM / depth-L1 on the depth-valid region (reference
+    `eval_render_func` semantics: zero out depth-invalid pixels,
+    `eval_utils.py:93-109`)."""
+    ref_color = np.asarray(ref_color, np.float64)
+    est_color = np.asarray(est_color, np.float64)
+    mask = np.asarray(ref_depth).squeeze() > 0
+    ec = est_color * mask[..., None]
+    rc = ref_color * mask[..., None]
+    out = {
+        "psnr": psnr(est_color, ref_color, mask[..., None]),
+        "ssim": ssim(ec, rc),
+        "depth_l1": depth_l1(est_depth, ref_depth),
+    }
+    out["lpips"] = _lpips(ec, rc)
+    return out
+
+
+def _lpips(est: np.ndarray, ref: np.ndarray) -> float:
+    try:  # pragma: no cover - depends on local torch weights
+        import torch
+        from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
+
+        metric = LearnedPerceptualImagePatchSimilarity(net_type="alex", normalize=True)
+        e = torch.from_numpy(np.ascontiguousarray(est, np.float32)).permute(2, 0, 1)[None]
+        r = torch.from_numpy(np.ascontiguousarray(ref, np.float32)).permute(2, 0, 1)[None]
+        return float(metric(e.clamp(0, 1), r.clamp(0, 1)))
+    except Exception:
+        return float("nan")

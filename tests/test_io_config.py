@@ -1,0 +1,119 @@
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from eggfusion_tpu import config as cfglib
+from eggfusion_tpu.core import surfels as sf
+from eggfusion_tpu.io import checkpoint as ckpt
+from eggfusion_tpu.io import ply as plyio
+from eggfusion_tpu.utils import eval as evalu
+
+
+class TestConfig:
+    def test_default_config_sections(self):
+        cfg = cfglib.default_config()
+        for sec in ["Dataset", "Viewer", "Tracking", "Mapping", "Surfel", "System"]:
+            assert sec in cfg
+        assert cfg.Tracking.pyramid_level == 3
+        assert cfg.Mapping.get("missing", 42) == 42
+
+    def test_merge_override(self):
+        cfg = cfglib.default_config(Tracking={"pyramid_level": 4}, Dataset={"type": "tum"})
+        assert cfg.Tracking.pyramid_level == 4
+        assert cfg.Tracking.use_rgb is True  # untouched default survives
+        assert cfg.Dataset.type == "tum"
+        assert cfg.Dataset.Calibration.fx == 300.0
+
+    def test_three_level_yaml_merge(self, tmp_path):
+        (tmp_path / "base.yaml").write_text("A: {x: 1, y: 2}\nSystem: {root_dir: '" + str(tmp_path / "res") + "'}\nDataset: {type: d}\n")
+        (tmp_path / "data.yaml").write_text("A: {y: 3}\n")
+        (tmp_path / "scene.yaml").write_text(
+            f"base_config: {tmp_path}/base.yaml\ndata_config: {tmp_path}/data.yaml\nA: {{z: 4}}\nDataset: {{scene: s}}\n"
+        )
+        cfg = cfglib.load_config(str(tmp_path / "scene.yaml"))
+        assert cfg.A.x == 1 and cfg.A.y == 3 and cfg.A.z == 4
+        assert os.path.exists(os.path.join(cfg.System.save_dir, "config.yaml"))
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(0)
+        n, R = 17, 15
+        path = str(tmp_path / "map.ply")
+        args = dict(
+            xyz=rng.normal(size=(n, 3)).astype(np.float32),
+            features_dc=rng.normal(size=(n, 1, 3)).astype(np.float32),
+            features_rest=rng.normal(size=(n, R, 3)).astype(np.float32),
+            scaling=rng.normal(size=(n, 3)).astype(np.float32),
+            rotation=rng.normal(size=(n, 4)).astype(np.float32),
+            opacity=rng.normal(size=(n, 1)).astype(np.float32),
+        )
+        plyio.save_ply(path, **args)
+        out = plyio.load_ply(path)
+        for k in args:
+            np.testing.assert_allclose(out[k], args[k], atol=1e-6, err_msg=k)
+
+    def test_reads_scaling_prefix(self, tmp_path):
+        """The reference writes scale_* but reads scaling_*; we accept both."""
+        path = str(tmp_path / "alt.ply")
+        n = 3
+        names = ["x", "y", "z", "f_dc_0", "f_dc_1", "f_dc_2", "scaling_0", "scaling_1", "scaling_2",
+                 "rotation_0", "rotation_1", "rotation_2", "rotation_3", "opacity"]
+        data = np.arange(n * len(names), dtype=np.float32).reshape(n, len(names))
+        header = "\n".join(["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
+                           + [f"property float {nm}" for nm in names] + ["end_header", ""])
+        with open(path, "wb") as f:
+            f.write(header.encode())
+            np.rec.fromarrays(data.T, dtype=[(nm, "<f4") for nm in names]).tofile(f)
+        out = plyio.load_ply(path)
+        assert out["scaling"].shape == (n, 3)
+        assert out["rotation"].shape == (n, 4)
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        cfg = sf.SurfelConfig(capacity=16, max_sh_degree=1)
+        s = sf.SurfelMap.empty(cfg)
+        s = s.replace(xyz=s.xyz.at[0].set(jnp.asarray([1.0, 2.0, 3.0])), count=jnp.int32(1))
+        p = str(tmp_path / "ck.npz")
+        ckpt.save_checkpoint(p, s, extra={"step": np.asarray(7)})
+        s2, extra = ckpt.load_checkpoint(p)
+        np.testing.assert_allclose(np.asarray(s2.xyz), np.asarray(s.xyz))
+        assert int(s2.count) == 1
+        assert int(extra["step"]) == 7
+
+
+class TestEval:
+    def test_ate_zero_for_identical(self):
+        traj = np.cumsum(np.random.default_rng(0).normal(size=(20, 3)), axis=0)
+        assert evalu.ate_rmse(traj, traj) < 1e-9
+
+    def test_ate_alignment_invariance(self):
+        """ATE must be invariant to a rigid transform of one trajectory."""
+        from scipy.spatial.transform import Rotation
+
+        rng = np.random.default_rng(1)
+        traj = np.cumsum(rng.normal(size=(30, 3)), axis=0)
+        R = Rotation.from_rotvec([0.3, -0.2, 0.5]).as_matrix()
+        moved = traj @ R.T + np.array([5.0, -2.0, 1.0])
+        assert evalu.ate_rmse(traj, moved) < 1e-6
+
+    def test_ate_scale_cm(self):
+        ref = np.zeros((10, 3))
+        est = np.zeros((10, 3))
+        est[:, 0] = np.linspace(-0.005, 0.005, 10)  # 1 cm spread
+        ate = evalu.ate_rmse(ref, est)
+        assert 0.1 < ate < 1.0  # fraction of a cm after alignment
+
+    def test_psnr_identity_inf(self):
+        img = np.random.default_rng(2).uniform(size=(16, 16, 3))
+        assert evalu.psnr(img, img) == float("inf")
+
+    def test_render_metrics_keys(self):
+        rng = np.random.default_rng(3)
+        c = rng.uniform(size=(32, 32, 3))
+        d = rng.uniform(1, 2, size=(32, 32, 1))
+        out = evalu.eval_render(c, d, c * 0.9, d * 1.1)
+        assert set(out) == {"psnr", "ssim", "depth_l1", "lpips"}
+        assert out["psnr"] > 15
