@@ -17,14 +17,18 @@ import os
 import sys
 import time
 
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
 BASELINE_FPS = 30.0
 
 
 def main() -> None:
     n_warm = int(os.environ.get("BENCH_WARMUP", 5))
     n_frames = int(os.environ.get("BENCH_FRAMES", 40))
-    width = int(os.environ.get("BENCH_WIDTH", 1200))
-    height = int(os.environ.get("BENCH_HEIGHT", 680))
+    width = int(os.environ.get("BENCH_WIDTH", 1280))
+    height = int(os.environ.get("BENCH_HEIGHT", 704))
     max_surfels = int(os.environ.get("BENCH_SURFELS", 600_000))
 
     from eggfusion_tpu import config as cfglib
@@ -32,11 +36,14 @@ def main() -> None:
     from eggfusion_tpu.data.datasets import load_dataset
     from eggfusion_tpu.system import EGGFusion
 
+    t_init = time.perf_counter()
     cfg = cfglib.default_config(
         Dataset={
             "type": "synthetic",
             "n_frames": n_warm + n_frames,
-            "preload": True,
+            "unique_frames": int(os.environ.get("BENCH_UNIQUE_FRAMES", 10)),
+            "device_frames": True,
+            "preload": False,
             "Calibration": {
                 "fx": 600.0, "fy": 600.0, "cx": width / 2 - 0.5, "cy": height / 2 - 0.5,
                 "width": width, "height": height, "depth_scale": 1.0,
@@ -48,20 +55,29 @@ def main() -> None:
     )
 
     dataset = load_dataset(cfg)
+    log(f"[bench] dataset ready in {time.perf_counter()-t_init:.1f}s")
+    t1 = time.perf_counter()
     ef = EGGFusion(cfg)
-
-    # warmup: triggers all compilations
-    for fid in range(n_warm):
-        ef.reconstruct(build_frame(dataset, fid, True))
+    ef.warmup()
+    log(f"[bench] system + tracker warmup in {time.perf_counter()-t1:.1f}s")
 
     import jax
+
+    # warmup frames: trigger the remaining per-frame compilations
+    t1 = time.perf_counter()
+    for fid in range(n_warm):
+        ef.reconstruct(build_frame(dataset, fid, False))
+        jax.block_until_ready(ef.mapper.surfels.count)
+    log(f"[bench] {n_warm} warmup frames in {time.perf_counter()-t1:.1f}s")
 
     jax.block_until_ready(ef.mapper.surfels.xyz)
     t0 = time.perf_counter()
     for fid in range(n_warm, n_warm + n_frames):
-        ef.reconstruct(build_frame(dataset, fid, True))
+        ef.reconstruct(build_frame(dataset, fid, False))
+        jax.block_until_ready(ef.mapper.surfels.count)
     jax.block_until_ready(ef.mapper.surfels.xyz)
     wall = time.perf_counter() - t0
+    log(f"[bench] {n_frames} timed frames in {wall:.1f}s")
 
     fps = n_frames / wall
     print(

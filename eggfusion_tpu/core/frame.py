@@ -37,13 +37,18 @@ def prepare_frame_inputs(color_u8, depth_raw, mask, depth_scale: jnp.ndarray, nl
     return color, depth, mask
 
 
+@jax.jit
+def _bilateral_jit(depth):
+    return imops.bilateral_filter(depth, 13, 0.03, 4.5)
+
+
 class Frame:
     """Host-side frame wrapper. Device arrays live in .color/.depth/.pyramid."""
 
     def __init__(self, uid: int, ts: float, color_u8: np.ndarray, depth_raw: np.ndarray,
                  mask: np.ndarray, gt_pose_w2c: np.ndarray, intr: cam.CameraIntrinsics,
                  depth_scale: float, nlevel: int = 3, projmat: np.ndarray | None = None,
-                 prefiltered: bool = False):
+                 prefiltered: bool = False, filter_depth: bool = False):
         self.uid = uid
         self.ts = float(ts)
         self.intrinsics = intr
@@ -64,10 +69,13 @@ class Frame:
         self.projmat = jnp.asarray(projmat, jnp.float32)  # pre-transposed (3DGS layout)
 
         if prefiltered:
-            # inputs already float metric (synthetic path)
+            # inputs already float metric (synthetic / device-resident path)
             self.color = jnp.asarray(color_u8, jnp.float32)
             d = jnp.asarray(depth_raw, jnp.float32)
-            self.depth = d if d.ndim == 3 else d[..., None]
+            d = d if d.ndim == 3 else d[..., None]
+            if filter_depth:
+                d = _bilateral_jit(d)
+            self.depth = d
             m = jnp.asarray(mask, jnp.float32)
             self.mask = m if m.ndim == 3 else m[..., None]
         else:

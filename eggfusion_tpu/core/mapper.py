@@ -138,27 +138,48 @@ def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict
     return total
 
 
-class KeyFrame:
-    """Host-resident snapshot of a frame + its maps (reference `KeyFrame`,
-    `mapper.py:29-66`: migrates maps to CPU to bound device memory)."""
+@functools.partial(jax.jit)
+def _relative_pose_mag(w2c_a, w2c_b):
+    """(rotation angle deg, translation dist) between two c2w poses —
+    on-device so the keyframe check syncs two scalars, not two matrices."""
+    a = jnp.linalg.inv(w2c_a)
+    b = jnp.linalg.inv(w2c_b)
+    cos_theta = jnp.clip((jnp.trace(a[:3, :3].T @ b[:3, :3]) - 1) / 2, -1, 1)
+    dR = jnp.degrees(jnp.arccos(cos_theta))
+    dt = jnp.linalg.norm(a[:3, 3] - b[:3, 3])
+    return dR, dt
 
-    def __init__(self, frame, frame_map: dict, time: int, fid: int):
+
+class KeyFrame:
+    """Snapshot of a frame + its maps (reference `KeyFrame`, `mapper.py:29-66`).
+
+    The reference migrates maps to CPU to bound GPU memory; here maps stay
+    device-resident by default (TPU HBM holds hundreds of keyframes, and a
+    host round-trip per snapshot stalls the pipeline on remote-attached
+    devices). Set `System.keyframe_storage: host` for very long sequences —
+    `device_maps()` re-uploads on demand."""
+
+    def __init__(self, frame, frame_map: dict, time: int, fid: int, storage: str = "device"):
         self.fid = fid
         self.time = time
         self.uid = frame.uid
-        self.w2c = np.asarray(frame.w2c_matrix())
-        self.intr = np.asarray(frame.intr)
+        self.w2c = frame.w2c_matrix()  # device (4, 4)
+        self.intr = frame.intr
         self.width, self.height = frame.width, frame.height
-        self.maps = {
-            "color": np.asarray(frame_map["color_map"]),
-            "depth": np.asarray(frame_map["depth_map"]),
-            "normal": np.asarray(frame_map["normal_map_c"]),
-            "rgb_mask": np.asarray(frame_map["rgb_mask"]),
-            "geo_mask": np.asarray(frame_map["geo_mask"]),
+        maps = {
+            "color": frame_map["color_map"],
+            "depth": frame_map["depth_map"],
+            "normal": frame_map["normal_map_c"],
+            "rgb_mask": frame_map["rgb_mask"],
+            "geo_mask": frame_map["geo_mask"],
         }
+        self.storage = storage
+        self.maps = {k: np.asarray(v) for k, v in maps.items()} if storage == "host" else maps
 
     def device_maps(self) -> dict:
-        return {k: jnp.asarray(v) for k, v in self.maps.items()}
+        if self.storage == "host":
+            return {k: jnp.asarray(v) for k, v in self.maps.items()}
+        return self.maps
 
 
 class KeyFrameManager:
@@ -173,20 +194,16 @@ class KeyFrameManager:
         self.check_t = float(cfg.Tracking.check_keyframe_t)
         self.window_size = int(cfg.Tracking.sliding_window_size)
         self.sliding_window: deque = deque(maxlen=self.window_size)
+        self.storage = str(cfg.System.get("keyframe_storage", "device"))
 
     def check_keyframe(self, frame, frame_map, time: int) -> bool:
-        kf = KeyFrame(frame, frame_map, time, len(self.keyframes))
+        kf = KeyFrame(frame, frame_map, time, len(self.keyframes), self.storage)
         if time == 0 or not self.keyframes:
             self.keyframes[kf.uid] = kf
             return True
         prev = self.keyframes[self.ids()[-1]]
-        # c2w rotations/centers
-        prev_c2w = np.linalg.inv(prev.w2c)
-        curr_c2w = np.linalg.inv(kf.w2c)
-        cos_theta = np.clip((np.trace(prev_c2w[:3, :3].T @ curr_c2w[:3, :3]) - 1) / 2, -1, 1)
-        dR = np.degrees(np.arccos(cos_theta))
-        dt = np.linalg.norm(prev_c2w[:3, 3] - curr_c2w[:3, 3])
-        if dR > self.check_R or dt > self.check_t:
+        dR, dt = _relative_pose_mag(prev.w2c, kf.w2c)
+        if float(dR) > self.check_R or float(dt) > self.check_t:
             self.keyframes[kf.uid] = kf
             return True
         return False
@@ -383,9 +400,10 @@ class Mapping:
             jnp.int32(self.time), self._next_key(), frame.width, frame.height, first,
         )
 
-        frame_ele = (frame, frame_map, self.time)
         if self.time % self.mcfg.sw_add_freq == 0:
-            self.keyframe_manager.sliding_window.append(KeyFrame(frame, frame_map, self.time, -1))
+            self.keyframe_manager.sliding_window.append(
+                KeyFrame(frame, frame_map, self.time, -1, self.keyframe_manager.storage)
+            )
         if self.time % self.mcfg.sw_optimize_freq == 0:
             self.keyframe_manager.check_keyframe(frame, frame_map, self.time)
             self.frame_batch_optimization(frame)
@@ -413,7 +431,7 @@ class Mapping:
         moments = _adam_init(params)
         step = jnp.int32(0)
         lrs_dev = {k: jnp.float32(v) for k, v in lrs.items()}
-        loss = float("nan")
+        loss = jnp.float32(jnp.nan)
         rng = np.random.default_rng(self.time)
         for _ in range(iters):
             kf = keyframes[rng.integers(len(keyframes))]
@@ -422,7 +440,7 @@ class Mapping:
                 jnp.asarray(kf.w2c), jnp.asarray(kf.intr),
                 geo_snapshot, lrs_dev, kf.width, kf.height,
             )
-        return float(loss)
+        return loss  # device scalar; callers float() it only when reporting
 
     def frame_batch_optimization(self, frame) -> float:
         """Sliding-window optimization (reference `mapper.py:336-378`)."""

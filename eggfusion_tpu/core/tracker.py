@@ -98,6 +98,25 @@ def dense_track(
     return delta, converged, last_res, last_n
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def dense_track_pose(
+    pyr_model: Pyramid,
+    pyr_frame: Pyramid,
+    seed_delta: jnp.ndarray,
+    prev_transform: jnp.ndarray,
+    cfg: TrackerConfig,
+):
+    """`dense_track` + on-device commit: returns the new w2c directly.
+
+    The convergence fallback (`tracker.py:167-170`) is a 4x4 select — doing it
+    on device removes the per-frame host readback of the converged flag (a
+    full dispatch round-trip per frame on remote-attached TPUs).
+    """
+    delta, converged, res, n = dense_track(pyr_model, pyr_frame, seed_delta, cfg)
+    curr = jnp.where(converged, delta @ prev_transform, seed_delta @ prev_transform)
+    return curr, converged, res, n
+
+
 class Tracker:
     """Host-side tracking orchestrator (reference `Tracker`, `tracker.py:48`).
 
@@ -161,12 +180,10 @@ class Tracker:
         seed_delta = self._seed_delta(frame, prev_transform)
 
         pyr_model = model_map["pyramid"]
-        delta, converged, _, _ = dense_track(pyr_model, frame.pyramid, seed_delta, self.config)
-
-        if bool(converged):
-            curr = delta @ prev_transform
-        else:
-            curr = seed_delta @ prev_transform
+        curr, converged, _, _ = dense_track_pose(
+            pyr_model, frame.pyramid, seed_delta, prev_transform, self.config
+        )
+        frame.tracking_converged = converged  # device scalar; sync-free
         frame.update_transform(curr[:3, :3], curr[:3, 3])
         self._push_pose(curr)
 

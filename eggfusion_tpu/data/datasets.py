@@ -310,14 +310,41 @@ class SyntheticDataset(RGBDDataset):
         self.poses = list(self.seq.poses_w2c)
         self.ts = list(self.seq.timestamps)
         self.depth_scale = 1.0
-        self._syn = syn
+        # Pre-generate frames on the MAIN thread: generation is a device
+        # render, and issuing device work from the prefetch thread while the
+        # pipeline runs concurrently is unsafe on remote-attached TPUs.
+        # `unique_frames` caps generation cost: the sequence cycles through
+        # that many distinct frames (poses loop with them, so frame/pose stay
+        # consistent) — used by the speed bench.
+        self._unique = min(n, int(config.Dataset.get("unique_frames", n)))
+        # device_frames: keep generated frames on device (no uint8/numpy
+        # round-trip). Matches a production camera->accelerator feed; on
+        # tunnel-attached dev TPUs it also avoids a pathological host link.
+        self._device = bool(config.Dataset.get("device_frames", False))
+        self._frames = []
+        for i in range(self._unique):
+            color, depth = syn.render_corner_scene_jit(self.intrinsics, self.poses[i])
+            if self._device:
+                self._frames.append((color, depth))
+            else:
+                self._frames.append(
+                    ((np.asarray(color) * 255).astype(np.uint8), np.asarray(depth)[..., 0])
+                )
+        if self._device:
+            import jax
+            import jax.numpy as jnp
+
+            self._dev_mask = jnp.ones((self.intrinsics.height, self.intrinsics.width, 1), jnp.float32)
+            jax.block_until_ready(self._frames[-1][0])
 
     def __getitem__(self, idx: int):
-        color, depth = self._syn.render_corner_scene_jit(self.intrinsics, self.poses[idx])
-        color_u8 = (np.asarray(color) * 255).astype(np.uint8)
-        depth_f = np.asarray(depth)[..., 0]
-        mask = np.ones((self.intrinsics.height, self.intrinsics.width, 1), bool)
-        return self.ts[idx], color_u8, depth_f, mask, self.poses[idx]
+        color, depth = self._frames[idx % self._unique]
+        if self._device:
+            mask = self._dev_mask  # cached on device: per-frame host->device
+            # mask uploads dominate on slow links
+        else:
+            mask = np.ones((self.intrinsics.height, self.intrinsics.width, 1), bool)
+        return self.ts[idx], color, depth, mask, self.poses[idx % self._unique]
 
 
 def load_dataset(config, test: bool = False) -> RGBDDataset:

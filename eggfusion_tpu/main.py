@@ -14,9 +14,18 @@ import numpy as np
 
 
 def build_frame(dataset, fid: int, preload: bool):
+    import jax
+
     from eggfusion_tpu.core.frame import Frame
 
     ts, color, depth, mask, gt_pose = dataset.get_buffer_frame() if preload else dataset[fid]
+    if isinstance(color, jax.Array):
+        # device-resident feed (float color/metric depth already on device)
+        return Frame(
+            uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
+            gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
+            projmat=dataset.projmat, prefiltered=True, filter_depth=True,
+        )
     return Frame(
         uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
         gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
@@ -30,6 +39,7 @@ def run(cfg, max_frames: int | None = None, verbose: bool = False):
 
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
+    ef.warmup()
 
     n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
     preload = bool(cfg.Dataset.get("preload", True))
@@ -41,7 +51,7 @@ def run(cfg, max_frames: int | None = None, verbose: bool = False):
             m = ef.metrics[-1]
             print(
                 f"frame {fid}/{n}  track {m['track_ms']:.1f}ms  map {m['map_ms']:.1f}ms  "
-                f"post {m['post_ms']:.1f}ms  surfels {m['surfels']}"
+                f"post {m['post_ms']:.1f}ms  surfels {int(m['surfels'])}"
             )
     wall = time.perf_counter() - t_start
     print(f"Processed {n} frames in {wall:.2f}s ({n / wall:.2f} FPS)")

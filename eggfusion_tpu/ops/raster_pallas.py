@@ -1,0 +1,543 @@
+"""Pallas TPU tile-based differentiable surfel rasterizer.
+
+TPU-native replacement for the reference's CUDA `diff_gaussian_rasterization`
+submodule (interface contract at `/root/reference/src/core/render.py:53-104`):
+given camera + surfel render params, produce (color, normal, depth, opacity)
+images with gradients. Numerics match the golden XLA compositor
+(`ops/raster_xla.py`); this kernel replaces its O(N*H*W) all-pairs blend with
+the classic splatting pipeline, re-shaped for TPU:
+
+  1. project (XLA, differentiable) — shared `raster_common.project_surfels`.
+  2. depth-sort surfels once, globally (XLA argsort).
+  3. tile binning (XLA, non-diff): each surfel emits up to KX*KY candidate
+     (tile, surfel) entries from a fixed window anchored at its bbox corner;
+     a single stable sort by tile id yields per-tile contiguous, depth-ordered
+     entry runs (fixed candidate count replaces the CUDA variable-length
+     duplication + radix sort; stability preserves the depth order).
+  4. per-tile gather of a fixed-capacity (CAP) entry slab: (T, CAP, 16)
+     attribute array. Differentiable gather — the backward is the segment-sum
+     XLA generates for free.
+  5. Pallas compositing kernel: grid over tiles, each instance front-to-back
+     alpha-blends its slab over a TILE_H x TILE_W pixel block (lane-aligned),
+     one entry per loop step (keeps Mosaic compile small), with early exit
+     when the whole block's transmittance saturates.
+  6. custom VJP: the backward kernel recomputes the forward transmittance,
+     checkpointing T every CKPT entries in VMEM scratch, then walks entries
+     in reverse carrying suffix accumulators — the d(out)/d(alpha_i) =
+     T_i c_i - S_i/(1-alpha_i) recurrence of the 3DGS backward, done per
+     4096-pixel vector block instead of per CUDA thread. The 1/(1-alpha)
+     transmittance rollback is re-anchored to an exact checkpoint every CKPT
+     entries, bounding the division drift the CUDA version accumulates over
+     the whole list.
+
+Deviations from the CUDA rasterizer (documented, not accidental):
+  * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped).
+  * a surfel's footprint is truncated to a KX*KY-tile window (256x128 px);
+    splats larger than that are rare in fused SLAM maps (scale ~ 2px*d/f).
+  * per-tile entry capacity CAP is static; overflow drops the FARTHEST
+    surfels (entries are depth-sorted, and a tile that deep is saturated).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from eggfusion_tpu.ops import raster_common as rc
+
+TILE_H = 32
+TILE_W = 128
+KX = 2  # candidate tile window, x
+KY = 4  # candidate tile window, y
+CKPT = 8  # transmittance checkpoint period (backward)
+STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
+
+# entry attribute layout (lane index in the (CAP, 16) slab)
+A_U, A_V = 0, 1
+A_CA, A_CB, A_CC = 2, 3, 4
+A_OP = 5
+A_R, A_G, A_B = 6, 7, 8
+A_NX, A_NY, A_NZ = 9, 10, 11
+A_PX, A_PY, A_PZ = 12, 13, 14
+A_VAL = 15
+N_ATTR = 16
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------------
+# shared per-entry math
+# --------------------------------------------------------------------------
+
+
+def _pixel_grid(t, tx_tiles, intr_ref):
+    """Per-block pixel coords and camera rays."""
+    x0 = (t % tx_tiles) * TILE_W
+    y0 = (t // tx_tiles) * TILE_H
+    xs = x0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    ys = y0 + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    xs = xs.astype(jnp.float32)
+    ys = ys.astype(jnp.float32)
+    fx = intr_ref[0, 0]
+    fy = intr_ref[0, 1]
+    cx = intr_ref[0, 2]
+    cy = intr_ref[0, 3]
+    rx = (xs - cx) / fx
+    ry = (ys - cy) / fy
+    return xs, ys, rx, ry
+
+
+def _entry_alpha(ch, xs, ys):
+    """Alpha map of one entry row ch (16,)."""
+    dx = xs - ch[A_U]
+    dy = ys - ch[A_V]
+    power = -0.5 * (ch[A_CA] * dx * dx + ch[A_CC] * dy * dy) - ch[A_CB] * dx * dy
+    raw = ch[A_OP] * jnp.exp(power)
+    alpha = jnp.minimum(rc.MAX_ALPHA, raw) * ch[A_VAL]
+    return jnp.where(alpha >= rc.ALPHA_EPS, alpha, 0.0), raw, dx, dy
+
+
+def _entry_zpx(ch, rx, ry):
+    """Per-pixel ray/surfel-plane depth of one entry (matches raster_xla)."""
+    nx, ny, nz = ch[A_NX], ch[A_NY], ch[A_NZ]
+    px, py, pz = ch[A_PX], ch[A_PY], ch[A_PZ]
+    denom = rx * nx + ry * ny + nz
+    pn = px * nx + py * ny + pz * nz
+    denom_ok = jnp.abs(denom) >= 1e-6
+    denom_safe = jnp.where(denom_ok, denom, 1e-6)
+    z_plane = pn / denom_safe
+    use_plane = (z_plane > rc.NEAR_Z) & denom_ok
+    return jnp.where(use_plane, z_plane, pz), denom_safe, pn, use_plane
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(tx_tiles: int, cap: int):
+    def kernel(counts_ref, intr_ref, entries_ref, rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref):
+        t = pl.program_id(0)
+        xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        count = jnp.minimum(counts_ref[t, 0], cap)
+
+        def cond(carry):
+            i = carry[0]
+            T = carry[-1]
+            return (i < count) & (jnp.max(T) > STOP_EPS)
+
+        def body(carry):
+            i, r, g, b, nx, ny, nz, dep, opa, T = carry
+            ch = entries_ref[0, pl.ds(i, 1), :][0]
+            alpha, _, _, _ = _entry_alpha(ch, xs, ys)
+            z_px, _, _, _ = _entry_zpx(ch, rx, ry)
+            w = T * alpha
+            r = r + w * ch[A_R]
+            g = g + w * ch[A_G]
+            b = b + w * ch[A_B]
+            nx = nx + w * ch[A_NX]
+            ny = ny + w * ch[A_NY]
+            nz = nz + w * ch[A_NZ]
+            dep = dep + w * z_px
+            opa = opa + w
+            T = T * (1.0 - alpha)
+            return (i + 1, r, g, b, nx, ny, nz, dep, opa, T)
+
+        init = (jnp.int32(0), zero, zero, zero, zero, zero, zero, zero, zero, jnp.ones_like(zero))
+        _, r, g, b, nx, ny, nz, dep, opa, T = jax.lax.while_loop(cond, body, init)
+
+        rgb_ref[0, :, :] = r
+        rgb_ref[1, :, :] = g
+        rgb_ref[2, :, :] = b
+        nrm_ref[0, :, :] = nx
+        nrm_ref[1, :, :] = ny
+        nrm_ref[2, :, :] = nz
+        dep_ref[:, :] = dep
+        opa_ref[:, :] = opa
+        T_ref[:, :] = T
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(tx_tiles: int, cap: int):
+    n_ckpts = cap // CKPT
+
+    def kernel(
+        counts_ref, intr_ref, entries_ref,
+        g_rgb_ref, g_nrm_ref, g_dep_ref, g_opa_ref, g_T_ref,
+        dent_ref,
+        T_ckpt,  # VMEM scratch ((cap//CKPT)*TILE_H, TILE_W)
+    ):
+        t = pl.program_id(0)
+        xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
+        zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
+        count = jnp.minimum(counts_ref[t, 0], cap)
+
+        dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
+
+        # ---- phase 1: forward transmittance sweep with checkpoints ---------
+        def cond1(carry):
+            i, T = carry
+            return (i < count) & (jnp.max(T) > STOP_EPS)
+
+        def body1(carry):
+            i, T = carry
+
+            @pl.when(i % CKPT == 0)
+            def _():
+                # 2D scratch + sublane dynamic slice (a 3D dynamic first-dim
+                # index would lower to a switch over cap//CKPT cases)
+                T_ckpt[pl.ds((i // CKPT) * TILE_H, TILE_H), :] = T
+
+            ch = entries_ref[0, pl.ds(i, 1), :][0]
+            alpha, _, _, _ = _entry_alpha(ch, xs, ys)
+            return (i + 1, T * (1.0 - alpha))
+
+        n_done, T_fin = jax.lax.while_loop(cond1, body1, (jnp.int32(0), jnp.ones_like(zero)))
+
+        g_r = g_rgb_ref[0, :, :]
+        g_g = g_rgb_ref[1, :, :]
+        g_b = g_rgb_ref[2, :, :]
+        g_nx = g_nrm_ref[0, :, :]
+        g_ny = g_nrm_ref[1, :, :]
+        g_nz = g_nrm_ref[2, :, :]
+        g_dep = g_dep_ref[:, :]
+        g_opa = g_opa_ref[:, :]
+        g_T = g_T_ref[:, :]
+
+        # ---- phase 2: reverse entry walk with suffix accumulators ----------
+        # carry: (i, T_after(i), Sr, Sg, Sb, Snx, Sny, Snz, Sd, So)
+        # suffix S_c = sum_{j > i} w_j c_j  (per output channel, per pixel)
+        def body2(carry):
+            i, T_after, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So = carry
+            ch = entries_ref[0, pl.ds(i, 1), :][0]
+            alpha, raw, dx, dy = _entry_alpha(ch, xs, ys)
+            z_px, denom_safe, pn, use_plane = _entry_zpx(ch, rx, ry)
+
+            # transmittance rollback, re-anchored at exact checkpoints
+            Tk = T_after / (1.0 - alpha)
+            Tck = T_ckpt[pl.ds((i // CKPT) * TILE_H, TILE_H), :]
+            Tk = jnp.where(i % CKPT == 0, Tck, Tk)
+            w = Tk * alpha
+            one_m = 1.0 - alpha
+
+            cr, cg, cb = ch[A_R], ch[A_G], ch[A_B]
+            nxs, nys, nzs = ch[A_NX], ch[A_NY], ch[A_NZ]
+
+            galpha = (
+                g_r * (Tk * cr - Sr / one_m)
+                + g_g * (Tk * cg - Sg / one_m)
+                + g_b * (Tk * cb - Sb / one_m)
+                + g_nx * (Tk * nxs - Snx / one_m)
+                + g_ny * (Tk * nys - Sny / one_m)
+                + g_nz * (Tk * nzs - Snz / one_m)
+                + g_dep * (Tk * z_px - Sd / one_m)
+                + g_opa * (Tk - So / one_m)
+                - g_T * T_fin / one_m
+            )
+            # alpha gates: clamped at MAX_ALPHA or below ALPHA_EPS -> grad 0
+            live = (alpha > 0.0) & (raw < rc.MAX_ALPHA)
+            galpha = jnp.where(live, galpha, 0.0)
+
+            # chain into splat params: alpha = op * exp(power)
+            expp = jnp.where(live, raw / jnp.maximum(ch[A_OP], 1e-12), 0.0)
+            g_op = jnp.sum(galpha * expp) * ch[A_VAL]
+            gP = galpha * alpha  # d(alpha)/d(power) = alpha (unclamped)
+            ca, cb2, cc = ch[A_CA], ch[A_CB], ch[A_CC]
+            g_u = jnp.sum(gP * (ca * dx + cb2 * dy))
+            g_v = jnp.sum(gP * (cb2 * dx + cc * dy))
+            g_ca = jnp.sum(gP * (-0.5 * dx * dx))
+            g_cb = jnp.sum(gP * (-dx * dy))
+            g_cc = jnp.sum(gP * (-0.5 * dy * dy))
+
+            # color channels
+            g_cr = jnp.sum(g_r * w)
+            g_cg = jnp.sum(g_g * w)
+            g_cb_col = jnp.sum(g_b * w)
+
+            # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
+            gz = g_dep * w
+            g_pn = jnp.where(use_plane, gz / denom_safe, 0.0)
+            g_den = jnp.where(use_plane, -gz * pn / (denom_safe * denom_safe), 0.0)
+            gz_fb = jnp.where(use_plane, 0.0, gz)
+
+            g_nx_e = jnp.sum(g_nx * w + g_pn * ch[A_PX] + g_den * rx)
+            g_ny_e = jnp.sum(g_ny * w + g_pn * ch[A_PY] + g_den * ry)
+            g_nz_e = jnp.sum(g_nz * w + g_pn * ch[A_PZ] + g_den)
+            g_px = jnp.sum(g_pn * nxs)
+            g_py = jnp.sum(g_pn * nys)
+            g_pz = jnp.sum(g_pn * nzs + gz_fb)
+
+            grow = jnp.stack(
+                [g_u, g_v, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_col,
+                 g_nx_e, g_ny_e, g_nz_e, g_px, g_py, g_pz, 0.0]
+            )
+            dent_ref[0, pl.ds(i, 1), :] = grow.reshape(1, N_ATTR)
+
+            return (
+                i - 1, Tk,
+                Sr + w * cr, Sg + w * cg, Sb + w * cb,
+                Snx + w * nxs, Sny + w * nys, Snz + w * nzs,
+                Sd + w * z_px, So + w,
+            )
+
+        def cond2(carry):
+            return carry[0] >= 0
+
+        jax.lax.while_loop(
+            cond2, body2,
+            (n_done - 1, T_fin, zero, zero, zero, zero, zero, zero, zero, zero),
+        )
+
+    return kernel
+
+
+# --------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
+    tx_tiles = wp // TILE_W
+
+    img = lambda c: jax.ShapeDtypeStruct((c, hp, wp), jnp.float32) if c else jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    blk3 = lambda: pl.BlockSpec((3, TILE_H, TILE_W), lambda t: (0, t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
+    blk1 = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda t: (t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
+    counts_spec = pl.BlockSpec((n_tiles, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+
+    fwd_call = pl.pallas_call(
+        _make_fwd_kernel(tx_tiles, cap),
+        grid=(n_tiles,),
+        in_specs=[counts_spec, intr_spec, entries_spec],
+        out_specs=(blk3(), blk3(), blk1(), blk1(), blk1()),
+        out_shape=(img(3), img(3), img(0), img(0), img(0)),
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        _make_bwd_kernel(tx_tiles, cap),
+        grid=(n_tiles,),
+        in_specs=[counts_spec, intr_spec, entries_spec, blk3(), blk3(), blk1(), blk1(), blk1()],
+        out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(((cap // CKPT) * TILE_H, TILE_W), jnp.float32)],
+        interpret=interpret,
+    )
+
+    @jax.custom_vjp
+    def composite(entries, counts, intr):
+        return fwd_call(counts, intr.reshape(1, 4), entries)
+
+    def composite_fwd(entries, counts, intr):
+        return composite(entries, counts, intr), (entries, counts, intr)
+
+    def composite_bwd(res, cots):
+        entries, counts, intr = res
+        g_rgb, g_nrm, g_dep, g_opa, g_T = cots
+        d_entries = bwd_call(
+            counts, intr.reshape(1, 4), entries, g_rgb, g_nrm, g_dep, g_opa, g_T
+        )
+        zero_i = np.zeros(counts.shape, jax.dtypes.float0)
+        return d_entries, zero_i, jnp.zeros_like(intr)
+
+    composite.defvjp(composite_fwd, composite_bwd)
+    return composite
+
+
+# --------------------------------------------------------------------------
+# binning (XLA, non-differentiable)
+# --------------------------------------------------------------------------
+
+
+DEPTH_BITS = 21
+DEPTH_FAR = 120.0  # quantization range upper bound (m)
+
+
+def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap):
+    """Fixed-window tile binning via ONE fused (tile, depth) radix key.
+
+    The CUDA rasterizer builds 64-bit keys (tile << 32 | float_bits(depth))
+    and radix-sorts the duplicated entries. Here: uint32 keys
+    (tile << 21 | quantized_depth), one `lax.sort` with the candidate index
+    as payload, and one inverse sort — no depth pre-sort, no scatters, and
+    (unlike naive argsort+gather chains) only two O(N*K) sorts total.
+
+    Returns:
+      entry_sid (T, CAP) i32 — ORIGINAL surfel index per entry slot
+      counts    (T, 1)   i32
+      back_map  (N, K)   i32 — flat entry slot (tile*cap + slot) of each
+                 surfel's k-th candidate, or -1 if culled/overflowed. This is
+                 the exact inverse of the expansion: the custom-VJP backward
+                 gathers through it instead of letting XLA emit a serialized
+                 scatter-add transpose (the TPU-killer of naive autodiff
+                 through the gather).
+    """
+    n = mean2d.shape[0]
+    u = mean2d[:, 0]
+    v = mean2d[:, 1]
+    r = radius
+    tx0 = jnp.clip(jnp.floor((u - r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
+    ty0 = jnp.clip(jnp.floor((v - r) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
+    tx1 = jnp.clip(jnp.floor((u + r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
+    ty1 = jnp.clip(jnp.floor((v + r) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
+    # truncate footprint to the fixed window
+    tx1 = jnp.minimum(tx1, tx0 + KX - 1)
+    ty1 = jnp.minimum(ty1, ty0 + KY - 1)
+
+    qmax = (1 << DEPTH_BITS) - 1
+    qdepth = jnp.clip(depth * (qmax / DEPTH_FAR), 0, qmax).astype(jnp.uint32)
+
+    K = KX * KY
+    assert n_tiles < (1 << 10), "tile id must fit the uint32 key budget"
+    keys = []
+    for ky in range(KY):
+        for kx in range(KX):
+            tx = tx0 + kx
+            ty = ty0 + ky
+            ok = valid & (tx <= tx1) & (ty <= ty1)
+            tile = jnp.where(ok, ty * tx_tiles + tx, n_tiles).astype(jnp.uint32)
+            keys.append((tile << DEPTH_BITS) | qdepth)
+    keys = jnp.stack(keys, axis=-1).reshape(-1)  # (N*K,) surfel-major
+
+    nk = n * K
+    iota = jnp.arange(nk, dtype=jnp.int32)
+    skeys, sorted_j = jax.lax.sort((keys, iota), num_keys=1)
+    sorted_tile = (skeys >> DEPTH_BITS).astype(jnp.int32)
+    sorted_sid = sorted_j // K  # ORIGINAL surfel index (candidates surfel-major)
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
+    counts = jnp.minimum(ends - starts, cap)
+
+    pos = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+    entry_sid = sorted_sid[jnp.clip(pos, 0, nk - 1)]
+
+    # inverse: position of each candidate in the sorted order (sort the
+    # permutation back — a permutation sorts to iota, payload is the inverse)
+    _, inv_pos = jax.lax.sort((sorted_j, iota), num_keys=1)
+    cand_pos = inv_pos.reshape(n, K)
+    cand_tile = (keys >> DEPTH_BITS).astype(jnp.int32).reshape(n, K)
+    tile_c = jnp.clip(cand_tile, 0, n_tiles - 1)
+    slot = cand_pos - starts[tile_c]
+    ok = (cand_tile < n_tiles) & (slot >= 0) & (slot < cap)
+    back_map = jnp.where(ok, tile_c * cap + slot, -1)  # (N, K), original order
+    return entry_sid, counts[:, None], back_map
+
+
+@jax.custom_vjp
+def _expand_entries(attrs, entry_sid, back_map):
+    """Gather per-surfel attrs (N, 16) into per-tile slabs (T, CAP, 16).
+
+    Backward gathers d(entries) through `back_map` — each surfel collects its
+    <= K entry-slot gradients. No scatter ops anywhere.
+    """
+    return attrs[entry_sid]
+
+
+def _expand_fwd(attrs, entry_sid, back_map):
+    return attrs[entry_sid], (entry_sid.shape, back_map)
+
+
+def _expand_bwd(res, g):
+    sid_shape, back_map = res
+    flat = g.reshape(-1, g.shape[-1])  # (T*CAP, 16)
+    idx = jnp.clip(back_map, 0, flat.shape[0] - 1)  # (N, K)
+    picked = flat[idx]  # (N, K, 16)
+    d_attrs = jnp.sum(jnp.where((back_map >= 0)[..., None], picked, 0.0), axis=1)
+    return (
+        d_attrs,
+        np.zeros(sid_shape, jax.dtypes.float0),
+        np.zeros(back_map.shape, jax.dtypes.float0),
+    )
+
+
+_expand_entries.defvjp(_expand_fwd, _expand_bwd)
+
+
+# --------------------------------------------------------------------------
+# public entry
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret"))
+def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
+                       sh_degree: int, cap: int, interpret: bool) -> dict:
+    hp = _cdiv(height, TILE_H) * TILE_H
+    wp = _cdiv(width, TILE_W) * TILE_W
+    tx_tiles = wp // TILE_W
+    ty_tiles = hp // TILE_H
+    n_tiles = tx_tiles * ty_tiles
+
+    proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree)
+
+    entry_sid, counts, back_map = _bin_entries(
+        jax.lax.stop_gradient(proj.depth),
+        jax.lax.stop_gradient(proj.mean2d),
+        jax.lax.stop_gradient(proj.radius),
+        proj.valid,
+        n_tiles, tx_tiles, ty_tiles, cap,
+    )
+
+    attrs = jnp.concatenate(
+        [
+            proj.mean2d,  # u, v
+            proj.conic,  # a, b, c
+            proj.opacity[:, None],
+            proj.color,
+            proj.normal_cam,
+            proj.p_cam,
+            jnp.ones((proj.mean2d.shape[0], 1), jnp.float32),  # val (masked below)
+        ],
+        axis=-1,
+    )  # (N, 16)
+
+    # slots >= counts[t] are never read by the kernel (the while bound is the
+    # count), so no validity masking of the gathered slab is needed.
+    entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
+
+    composite = _make_composite(hp, wp, cap, n_tiles, interpret)
+    rgb, nrm, dep, opa, _T = composite(entries, counts, intr.astype(jnp.float32))
+
+    rgb = jnp.moveaxis(rgb, 0, -1)[:height, :width, :]
+    nrm = jnp.moveaxis(nrm, 0, -1)[:height, :width, :]
+    dep = dep[:height, :width]
+    opa = opa[:height, :width]
+
+    # identical normalization to raster_xla (see its depth-bias note)
+    wsum = jnp.maximum(opa, 1e-6)
+    dep = dep / wsum
+    nrm = nrm / wsum[..., None]
+
+    return {
+        "color": rgb,
+        "normal": nrm,
+        "depth": dep[..., None],
+        "opacity": opa[..., None],
+    }
+
+
+def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
+                  sh_degree: int = 3, cap: int = 512, interpret: bool | None = None) -> dict:
+    """Render surfels to (H, W, *) color/normal/depth/opacity maps.
+
+    Drop-in for `raster_xla.render_xla`; same output dict and normalization.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret)

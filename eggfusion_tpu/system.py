@@ -30,7 +30,16 @@ from eggfusion_tpu.io import checkpoint as ckpt
 from eggfusion_tpu.io import ply as plyio
 from eggfusion_tpu.ops import image as imops
 from eggfusion_tpu.ops.pyramid import build_pyramid
+from eggfusion_tpu.geometry.camera import CameraIntrinsics
 from eggfusion_tpu.utils import eval as evalu
+
+
+def _cal_intrinsics(cfg) -> CameraIntrinsics:
+    cal = cfg.Dataset.Calibration
+    return CameraIntrinsics(
+        fx=float(cal.fx), fy=float(cal.fy), cx=float(cal.cx), cy=float(cal.cy),
+        width=int(cal.width), height=int(cal.height),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("reco_normal_thres",))
@@ -131,6 +140,31 @@ class EGGFusion:
         self.traj = {"ts": [], "ref": [], "est": []}
         self.metrics = []  # per-frame observability records
 
+    def warmup(self) -> None:
+        """Pre-compile the dense-tracking program on dummy inputs.
+
+        Real-time discipline: all compilation should happen before the
+        sequence starts. Empirically also required on remote-attached TPUs,
+        where compiling the tracker mid-sequence (after the mapping programs
+        and large buffers are resident) can crash the device worker.
+        """
+        from eggfusion_tpu.core.tracker import dense_track_pose
+
+        cal = self.cfg.Dataset.Calibration
+        H, W = int(cal.height), int(cal.width)
+        f = Frame(
+            uid=-1, ts=0.0,
+            color_u8=np.zeros((H, W, 3), np.float32),
+            depth_raw=np.ones((H, W), np.float32),
+            mask=np.ones((H, W), np.float32),
+            gt_pose_w2c=np.eye(4, dtype=np.float32),
+            intr=_cal_intrinsics(self.cfg),
+            depth_scale=1.0, nlevel=self.nlevel, prefiltered=True,
+        )
+        eye = jnp.eye(4)
+        curr, _, _, _ = dense_track_pose(f.pyramid, f.pyramid, eye, eye, self.tracker.config)
+        jax.block_until_ready(curr)
+
     # ---- per-frame pipeline -------------------------------------------------
 
     def reconstruct(self, frame: Frame) -> None:
@@ -143,13 +177,15 @@ class EGGFusion:
         self.postprocess(frame)
         t3 = _time.perf_counter()
         self.append_trajectory(frame)
+        # surfel count stays a device scalar — no per-frame host readback
+        # (each sync is a full dispatch round-trip on remote-attached TPUs)
         self.metrics.append(
             {
                 "frame": frame.uid,
                 "track_ms": (t1 - t0) * 1e3,
                 "map_ms": (t2 - t1) * 1e3,
                 "post_ms": (t3 - t2) * 1e3,
-                "surfels": int(self.mapper.surfels.num_active()),
+                "surfels": self.mapper.surfels.num_active(),
             }
         )
 
@@ -169,9 +205,17 @@ class EGGFusion:
         )
 
     def append_trajectory(self, frame: Frame) -> None:
+        # device arrays, converted lazily (per-frame np.asarray would sync)
         self.traj["ts"].append(frame.ts)
-        self.traj["ref"].append(np.asarray(frame.c2w_matrix(gt=True)))
-        self.traj["est"].append(np.asarray(frame.c2w_matrix()))
+        self.traj["ref"].append(frame.c2w_matrix(gt=True))
+        self.traj["est"].append(frame.c2w_matrix())
+
+    def _traj_np(self, key: str) -> np.ndarray:
+        if not self.traj[key]:
+            return np.zeros((0, 4, 4), np.float32)
+        stacked = np.asarray(jnp.stack(self.traj[key]))
+        self.traj[key] = [jnp.asarray(m) for m in stacked]  # cache host copies
+        return stacked
 
     # ---- finalization -------------------------------------------------------
 
@@ -187,8 +231,8 @@ class EGGFusion:
             os.path.join(self.save_dir, "checkpoint.npz"),
             self.mapper.surfels,
             extra={
-                "traj_ref": np.asarray(self.traj["ref"]),
-                "traj_est": np.asarray(self.traj["est"]),
+                "traj_ref": self._traj_np("ref"),
+                "traj_est": self._traj_np("est"),
                 "ts": np.asarray(self.traj["ts"]),
             },
         )
@@ -234,8 +278,8 @@ class EGGFusion:
 
     def evaluate_trajectory(self, plot: bool = True) -> float:
         os.makedirs(self.save_dir, exist_ok=True)
-        ref = np.asarray(self.traj["ref"])
-        est = np.asarray(self.traj["est"])
+        ref = self._traj_np("ref")
+        est = self._traj_np("est")
         ts = self.traj["ts"]
 
         tum_ref = [evalu.matrix_to_tum(t, m) for t, m in zip(ts, ref)]
