@@ -295,7 +295,7 @@ class Mapping:
                 model = render_at(sf.render_params(s), w2c, intr, width, height)
                 imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, w2c, intr, width, height)
                 s, stats = fusion.fuse_surfels(
-                    s, imap,
+                    s, imap, w2c, intr,
                     frame_map["vertex_map_w"], frame_map["normal_map_w"],
                     frame_map["color_map"], depth, frame_map["geo_mask"],
                     model["depth"], mcfg.fusion_dist_thres, scfg, time,

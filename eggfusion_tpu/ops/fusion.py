@@ -13,13 +13,15 @@ p with depth d contributes precision lam_meas = 1/(alpha*d)^2:
     eta  <- eta + x_meas * lam_meas
     x    <- eta / lam          (fused position / normal)
 
-These updates are ADDITIVE — so instead of atomics (which TPUs lack) the
-per-pixel contributions are reduced with `segment_sum` over the surfel index
-map: the scatter-free formulation of the fusion kernel.
+The association is 1:1 by construction: a surfel lands on exactly one pixel
+(its projected center) and a pixel keeps one surfel (nearest wins in the
+z-buffered index map). So the fusion update is a pure per-surfel GATHER —
+each surfel reads the measurement at its own pixel and checks it won the
+index map — instead of the scatter-add/segment-sum the CUDA kernel uses
+(atomics are cheap on GPU; on TPU a scatter-add serializes).
 
 `project_surfels_to_frame` builds the per-pixel nearest-surfel index map via
-scatter-min z-buffering (XLA `.at[].min`), replacing the CUDA depth-buffer
-race/atomicMin pattern.
+scatter-min z-buffering (XLA `.at[].min`), the one (cheap, int) scatter left.
 """
 from __future__ import annotations
 
@@ -34,15 +36,8 @@ from eggfusion_tpu.geometry import sh as shlib
 from eggfusion_tpu.geometry import transforms as tf
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def project_surfels_to_frame(xyz: jnp.ndarray, active: jnp.ndarray, w2c: jnp.ndarray,
-                             intr: jnp.ndarray, width: int, height: int):
-    """Per-pixel nearest-surfel index map + depth buffer.
-
-    Interface mirror of `project_surfels_to_frame` (`mapper.py:266-276`).
-    Returns (imap (H, W) int32, -1 where empty; depth_buff (H, W) f32, 0 where
-    empty). Each surfel lands on its center pixel; the nearest (min z) wins.
-    """
+def _center_pixels(xyz, active, w2c, intr, width: int, height: int):
+    """Each surfel's rounded center pixel (flat index), validity, and z."""
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
@@ -53,7 +48,19 @@ def project_surfels_to_frame(xyz: jnp.ndarray, active: jnp.ndarray, w2c: jnp.nda
     v = jnp.round(fy * p_cam[:, 1] / z_safe + cy).astype(jnp.int32)
     ok = active & (z > 0.05) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
     pix = jnp.where(ok, v * width + u, width * height)  # dump slot
+    return pix, ok, z
 
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def project_surfels_to_frame(xyz: jnp.ndarray, active: jnp.ndarray, w2c: jnp.ndarray,
+                             intr: jnp.ndarray, width: int, height: int):
+    """Per-pixel nearest-surfel index map + depth buffer.
+
+    Interface mirror of `project_surfels_to_frame` (`mapper.py:266-276`).
+    Returns (imap (H, W) int32, -1 where empty; depth_buff (H, W) f32, 0 where
+    empty). Each surfel lands on its center pixel; the nearest (min z) wins.
+    """
+    pix, ok, z = _center_pixels(xyz, active, w2c, intr, width, height)
     HW = width * height
     zbuf = jnp.full((HW + 1,), jnp.inf, jnp.float32).at[pix].min(jnp.where(ok, z, jnp.inf))
     # winner: among surfels whose z equals the buffer min at their pixel,
@@ -75,6 +82,8 @@ class FusionStats(NamedTuple):
 def fuse_surfels(
     s: SurfelMap,
     imap: jnp.ndarray,  # (H, W) i32 from project_surfels_to_frame
+    w2c: jnp.ndarray,  # (4, 4) same camera the imap was built with
+    intr: jnp.ndarray,  # (4,)
     vertex_w: jnp.ndarray,  # (H, W, 3) measured vertices, world frame
     normal_w: jnp.ndarray,  # (H, W, 3) measured normals, world frame
     color: jnp.ndarray,  # (H, W, 3)
@@ -89,30 +98,29 @@ def fuse_surfels(
     `mapper.py:278-308`): information-filter update of position/normal,
     observe/error counting, inview/surface mask refresh.
 
-    Association gates: pixel has a surfel (imap >= 0), valid measurement
-    (geo_mask & depth > 0), |measured vertex - surfel position| <
+    Association gates: the surfel won its pixel in the index map, valid
+    measurement (geo_mask & depth > 0), |measured vertex - surfel position| <
     fusion_dist_thres, and normal agreement (dot > cos 60 deg). Disagreeing
-    but visible pixels increment error_count.
+    but visible surfels increment error_count.
     """
     H, W = imap.shape
+    HW = H * W
     N = s.capacity
-    sid = imap.reshape(-1)
-    has = sid >= 0
-    sid_c = jnp.where(has, sid, 0)
 
-    v_m = vertex_w.reshape(-1, 3)
-    n_m = normal_w.reshape(-1, 3)
-    c_m = color.reshape(-1, 3)
-    d_m = depth.reshape(-1)
-    valid_meas = geo_mask.reshape(-1) & (d_m > 0)
+    pix, ok, _z = _center_pixels(s.xyz, s.active, w2c, intr, W, H)
+    pixc = jnp.minimum(pix, HW - 1)
+    winner = ok & (imap.reshape(-1)[pixc] == jnp.arange(N, dtype=jnp.int32))
 
-    s_xyz = s.xyz[sid_c]
-    s_norm = s.get_normal()[sid_c]
+    v_m = vertex_w.reshape(-1, 3)[pixc]
+    n_m = normal_w.reshape(-1, 3)[pixc]
+    c_m = color.reshape(-1, 3)[pixc]
+    d_m = depth.reshape(-1)[pixc]
+    valid_meas = geo_mask.reshape(-1)[pixc] & (d_m > 0)
 
-    dist = jnp.linalg.norm(v_m - s_xyz, axis=-1)
-    ndot = jnp.sum(n_m * s_norm, axis=-1)
-    associate = has & valid_meas & (dist < fusion_dist_thres) & (jnp.abs(ndot) > 0.5)
-    errors = has & valid_meas & ~associate
+    dist = jnp.linalg.norm(v_m - s.xyz, axis=-1)
+    ndot = jnp.sum(n_m * s.get_normal(), axis=-1)
+    associate = winner & valid_meas & (dist < fusion_dist_thres) & (jnp.abs(ndot) > 0.5)
+    errors = winner & valid_meas & ~associate
 
     # flip measured normal to the surfel's hemisphere before fusing
     n_m = n_m * jnp.where(ndot < 0, -1.0, 1.0)[:, None]
@@ -120,27 +128,17 @@ def fuse_surfels(
     lam_p = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_p) ** 2, 1e-12), 0.0)
     lam_n = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_n) ** 2, 1e-12), 0.0)
 
-    seg = jax.ops.segment_sum
-    d_eta_p = seg(v_m * lam_p[:, None], sid_c, num_segments=N)
-    d_eta_n = seg(n_m * lam_n[:, None], sid_c, num_segments=N)
-    d_lam_p = seg(lam_p, sid_c, num_segments=N)
-    d_lam_n = seg(lam_n, sid_c, num_segments=N)
-    d_obs = seg(associate.astype(jnp.int32), sid_c, num_segments=N)
-    d_err = seg(errors.astype(jnp.int32), sid_c, num_segments=N)
-    # color: precision-weighted toward the measurement
-    d_col = seg(c_m * lam_p[:, None], sid_c, num_segments=N)
-
     lam_p_old = 1.0 / s.sigma2[:, 0]
     lam_n_old = 1.0 / s.sigma2[:, 1]
-    lam_p_new = lam_p_old + d_lam_p
-    lam_n_new = lam_n_old + d_lam_n
+    lam_p_new = lam_p_old + lam_p
+    lam_n_new = lam_n_old + lam_n
 
-    eta_new = s.eta + jnp.concatenate([d_eta_p, d_eta_n], axis=-1)
+    eta_new = s.eta + jnp.concatenate([v_m * lam_p[:, None], n_m * lam_n[:, None]], axis=-1)
     xyz_new = eta_new[:, :3] / lam_p_new[:, None]
     normal_new = eta_new[:, 3:] / lam_n_new[:, None]
     normal_new = normal_new / (jnp.linalg.norm(normal_new, axis=-1, keepdims=True) + 1e-8)
 
-    touched = d_obs > 0
+    touched = associate
     # only fuse geometry of touched, UNSTABLE surfels: stable surfels are
     # geometry-locked (matches the reference's stable/unstable split intent,
     # `mapper.py:326-334`) so the optimizer-refined map is not overwritten.
@@ -150,12 +148,9 @@ def fuse_surfels(
     rot_new = tf.compute_rot(z_axis, normal_new)
 
     old_color = s.get_color()
-    col_new = (old_color * lam_p_old[:, None] + d_col) / lam_p_new[:, None]
+    col_new = (old_color * lam_p_old[:, None] + c_m * lam_p[:, None]) / lam_p_new[:, None]
     dc_new = shlib.rgb_to_sh(col_new)[:, None, :]
 
-    # inview/surface masks: recompute for all active surfels
-    # (a surfel is "on the surface" if its predicted depth is consistent with
-    # the rendered model depth at its pixel)
     s = s.replace(
         xyz=jnp.where(fuse_geo[:, None], xyz_new, s.xyz),
         rotation=jnp.where(fuse_geo[:, None], rot_new, s.rotation),
@@ -166,8 +161,8 @@ def fuse_surfels(
             jnp.stack([1.0 / lam_p_new, 1.0 / lam_n_new], axis=-1),
             s.sigma2,
         ),
-        observe_count=s.observe_count + d_obs,
-        error_count=s.error_count + d_err,
+        observe_count=s.observe_count + touched.astype(jnp.int32),
+        error_count=s.error_count + errors.astype(jnp.int32),
         inview=touched | s.inview,
         surface=jnp.where(touched, True, s.surface),
     )

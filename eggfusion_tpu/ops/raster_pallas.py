@@ -19,16 +19,17 @@ the classic splatting pipeline, re-shaped for TPU:
      XLA generates for free.
   5. Pallas compositing kernel: grid over tiles, each instance front-to-back
      alpha-blends its slab over a TILE_H x TILE_W pixel block (lane-aligned),
-     one entry per loop step (keeps Mosaic compile small), with early exit
-     when the whole block's transmittance saturates.
+     processing entries in 8-row chunks (one VMEM row-block load + static
+     unroll amortizes the dynamic-slice overhead), with early exit when the
+     whole block's transmittance saturates.
   6. custom VJP: the backward kernel recomputes the forward transmittance,
-     checkpointing T every CKPT entries in VMEM scratch, then walks entries
-     in reverse carrying suffix accumulators — the d(out)/d(alpha_i) =
+     checkpointing T at every chunk boundary in VMEM scratch, then walks
+     chunks in reverse carrying suffix accumulators — the d(out)/d(alpha_i) =
      T_i c_i - S_i/(1-alpha_i) recurrence of the 3DGS backward, done per
-     4096-pixel vector block instead of per CUDA thread. The 1/(1-alpha)
-     transmittance rollback is re-anchored to an exact checkpoint every CKPT
-     entries, bounding the division drift the CUDA version accumulates over
-     the whole list.
+     4096-pixel vector block instead of per CUDA thread. Per-entry
+     transmittances are recomputed forward from the exact chunk checkpoint,
+     so there is NO 1/(1-alpha) rollback division (the CUDA backward
+     accumulates that drift over the whole list).
 
 Deviations from the CUDA rasterizer (documented, not accidental):
   * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped).
@@ -53,7 +54,7 @@ TILE_H = 32
 TILE_W = 128
 KX = 2  # candidate tile window, x
 KY = 4  # candidate tile window, y
-CKPT = 8  # transmittance checkpoint period (backward)
+CHUNK = 8  # entries per VMEM row-block load (and backward checkpoint period)
 STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
 
 # entry attribute layout (lane index in the (CAP, 16) slab)
@@ -122,32 +123,39 @@ def _entry_zpx(ch, rx, ry):
 
 
 def _make_fwd_kernel(tx_tiles: int, cap: int):
+    n_chunks_max = cap // CHUNK
+
     def kernel(counts_ref, intr_ref, entries_ref, rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         count = jnp.minimum(counts_ref[t, 0], cap)
+        n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
+        # chunked: one (CHUNK, 16) row-block load + static unroll per chunk
+        # amortizes the dynamic-slice / scalar-extract overhead 8x vs a
+        # per-entry loop. Rows past `count` carry A_VAL = 0 -> alpha 0.
         def cond(carry):
             i = carry[0]
             T = carry[-1]
-            return (i < count) & (jnp.max(T) > STOP_EPS)
+            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
 
         def body(carry):
             i, r, g, b, nx, ny, nz, dep, opa, T = carry
-            ch = entries_ref[0, pl.ds(i, 1), :][0]
-            alpha, _, _, _ = _entry_alpha(ch, xs, ys)
-            z_px, _, _, _ = _entry_zpx(ch, rx, ry)
-            w = T * alpha
-            r = r + w * ch[A_R]
-            g = g + w * ch[A_G]
-            b = b + w * ch[A_B]
-            nx = nx + w * ch[A_NX]
-            ny = ny + w * ch[A_NY]
-            nz = nz + w * ch[A_NZ]
-            dep = dep + w * z_px
-            opa = opa + w
-            T = T * (1.0 - alpha)
+            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
+            for k in range(CHUNK):
+                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
+                z_px, _, _, _ = _entry_zpx(ch[k], rx, ry)
+                w = T * alpha
+                r = r + w * ch[k, A_R]
+                g = g + w * ch[k, A_G]
+                b = b + w * ch[k, A_B]
+                nx = nx + w * ch[k, A_NX]
+                ny = ny + w * ch[k, A_NY]
+                nz = nz + w * ch[k, A_NZ]
+                dep = dep + w * z_px
+                opa = opa + w
+                T = T * (1.0 - alpha)
             return (i + 1, r, g, b, nx, ny, nz, dep, opa, T)
 
         init = (jnp.int32(0), zero, zero, zero, zero, zero, zero, zero, zero, jnp.ones_like(zero))
@@ -172,38 +180,37 @@ def _make_fwd_kernel(tx_tiles: int, cap: int):
 
 
 def _make_bwd_kernel(tx_tiles: int, cap: int):
-    n_ckpts = cap // CKPT
+    n_chunks_max = cap // CHUNK
 
     def kernel(
         counts_ref, intr_ref, entries_ref,
         g_rgb_ref, g_nrm_ref, g_dep_ref, g_opa_ref, g_T_ref,
         dent_ref,
-        T_ckpt,  # VMEM scratch ((cap//CKPT)*TILE_H, TILE_W)
+        T_ckpt,  # VMEM scratch ((cap//CHUNK)*TILE_H, TILE_W)
     ):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         count = jnp.minimum(counts_ref[t, 0], cap)
+        n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
         dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
 
-        # ---- phase 1: forward transmittance sweep with checkpoints ---------
+        # ---- phase 1: forward transmittance sweep, checkpoint per chunk ----
+        # (2D scratch + sublane dynamic slice: a 3D dynamic first-dim index
+        # would lower to a switch over cap//CHUNK cases)
         def cond1(carry):
             i, T = carry
-            return (i < count) & (jnp.max(T) > STOP_EPS)
+            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
 
         def body1(carry):
             i, T = carry
-
-            @pl.when(i % CKPT == 0)
-            def _():
-                # 2D scratch + sublane dynamic slice (a 3D dynamic first-dim
-                # index would lower to a switch over cap//CKPT cases)
-                T_ckpt[pl.ds((i // CKPT) * TILE_H, TILE_H), :] = T
-
-            ch = entries_ref[0, pl.ds(i, 1), :][0]
-            alpha, _, _, _ = _entry_alpha(ch, xs, ys)
-            return (i + 1, T * (1.0 - alpha))
+            T_ckpt[pl.ds(i * TILE_H, TILE_H), :] = T
+            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
+            for k in range(CHUNK):
+                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
+                T = T * (1.0 - alpha)
+            return (i + 1, T)
 
         n_done, T_fin = jax.lax.while_loop(cond1, body1, (jnp.int32(0), jnp.ones_like(zero)))
 
@@ -217,88 +224,106 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         g_opa = g_opa_ref[:, :]
         g_T = g_T_ref[:, :]
 
-        # ---- phase 2: reverse entry walk with suffix accumulators ----------
-        # carry: (i, T_after(i), Sr, Sg, Sb, Snx, Sny, Snz, Sd, So)
+        # ---- phase 2: reverse chunk walk with suffix accumulators ----------
+        # Within each chunk the per-entry transmittances are recomputed
+        # forward from the exact checkpoint — no 1/(1-alpha) rollback at all.
         # suffix S_c = sum_{j > i} w_j c_j  (per output channel, per pixel)
         def body2(carry):
-            i, T_after, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So = carry
-            ch = entries_ref[0, pl.ds(i, 1), :][0]
-            alpha, raw, dx, dy = _entry_alpha(ch, xs, ys)
-            z_px, denom_safe, pn, use_plane = _entry_zpx(ch, rx, ry)
+            ci, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So = carry
+            ch = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+            Tc = T_ckpt[pl.ds(ci * TILE_H, TILE_H), :]
 
-            # transmittance rollback, re-anchored at exact checkpoints
-            Tk = T_after / (1.0 - alpha)
-            Tck = T_ckpt[pl.ds((i // CKPT) * TILE_H, TILE_H), :]
-            Tk = jnp.where(i % CKPT == 0, Tck, Tk)
-            w = Tk * alpha
-            one_m = 1.0 - alpha
+            alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], []
+            T = Tc
+            for k in range(CHUNK):
+                alpha, raw, dx, dy = _entry_alpha(ch[k], xs, ys)
+                z_px, denom_safe, pn, use_plane = _entry_zpx(ch[k], rx, ry)
+                alphas.append(alpha); raws.append(raw); dxs.append(dx); dys.append(dy)
+                zpxs.append(z_px); zaux.append((denom_safe, pn, use_plane)); Ts.append(T)
+                T = T * (1.0 - alpha)
 
-            cr, cg, cb = ch[A_R], ch[A_G], ch[A_B]
-            nxs, nys, nzs = ch[A_NX], ch[A_NY], ch[A_NZ]
+            grows = []
+            for k in reversed(range(CHUNK)):
+                alpha = alphas[k]
+                Tk = Ts[k]
+                w = Tk * alpha
+                one_m = 1.0 - alpha
+                z_px = zpxs[k]
+                denom_safe, pn, use_plane = zaux[k]
+                chk = ch[k]
 
-            galpha = (
-                g_r * (Tk * cr - Sr / one_m)
-                + g_g * (Tk * cg - Sg / one_m)
-                + g_b * (Tk * cb - Sb / one_m)
-                + g_nx * (Tk * nxs - Snx / one_m)
-                + g_ny * (Tk * nys - Sny / one_m)
-                + g_nz * (Tk * nzs - Snz / one_m)
-                + g_dep * (Tk * z_px - Sd / one_m)
-                + g_opa * (Tk - So / one_m)
-                - g_T * T_fin / one_m
-            )
-            # alpha gates: clamped at MAX_ALPHA or below ALPHA_EPS -> grad 0
-            live = (alpha > 0.0) & (raw < rc.MAX_ALPHA)
-            galpha = jnp.where(live, galpha, 0.0)
+                cr, cg, cb = chk[A_R], chk[A_G], chk[A_B]
+                nxs, nys, nzs = chk[A_NX], chk[A_NY], chk[A_NZ]
 
-            # chain into splat params: alpha = op * exp(power)
-            expp = jnp.where(live, raw / jnp.maximum(ch[A_OP], 1e-12), 0.0)
-            g_op = jnp.sum(galpha * expp) * ch[A_VAL]
-            gP = galpha * alpha  # d(alpha)/d(power) = alpha (unclamped)
-            ca, cb2, cc = ch[A_CA], ch[A_CB], ch[A_CC]
-            g_u = jnp.sum(gP * (ca * dx + cb2 * dy))
-            g_v = jnp.sum(gP * (cb2 * dx + cc * dy))
-            g_ca = jnp.sum(gP * (-0.5 * dx * dx))
-            g_cb = jnp.sum(gP * (-dx * dy))
-            g_cc = jnp.sum(gP * (-0.5 * dy * dy))
+                galpha = (
+                    g_r * (Tk * cr - Sr / one_m)
+                    + g_g * (Tk * cg - Sg / one_m)
+                    + g_b * (Tk * cb - Sb / one_m)
+                    + g_nx * (Tk * nxs - Snx / one_m)
+                    + g_ny * (Tk * nys - Sny / one_m)
+                    + g_nz * (Tk * nzs - Snz / one_m)
+                    + g_dep * (Tk * z_px - Sd / one_m)
+                    + g_opa * (Tk - So / one_m)
+                    - g_T * T_fin / one_m
+                )
+                # alpha gates: clamped at MAX_ALPHA or below ALPHA_EPS -> 0
+                live = (alpha > 0.0) & (raws[k] < rc.MAX_ALPHA)
+                galpha = jnp.where(live, galpha, 0.0)
 
-            # color channels
-            g_cr = jnp.sum(g_r * w)
-            g_cg = jnp.sum(g_g * w)
-            g_cb_col = jnp.sum(g_b * w)
+                # chain into splat params: alpha = op * exp(power)
+                expp = jnp.where(live, raws[k] / jnp.maximum(chk[A_OP], 1e-12), 0.0)
+                g_op = jnp.sum(galpha * expp) * chk[A_VAL]
+                gP = galpha * alpha  # d(alpha)/d(power) = alpha (unclamped)
+                dx, dy = dxs[k], dys[k]
+                ca, cb2, cc = chk[A_CA], chk[A_CB], chk[A_CC]
+                g_u = jnp.sum(gP * (ca * dx + cb2 * dy))
+                g_v = jnp.sum(gP * (cb2 * dx + cc * dy))
+                g_ca = jnp.sum(gP * (-0.5 * dx * dx))
+                g_cb = jnp.sum(gP * (-dx * dy))
+                g_cc = jnp.sum(gP * (-0.5 * dy * dy))
 
-            # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
-            gz = g_dep * w
-            g_pn = jnp.where(use_plane, gz / denom_safe, 0.0)
-            g_den = jnp.where(use_plane, -gz * pn / (denom_safe * denom_safe), 0.0)
-            gz_fb = jnp.where(use_plane, 0.0, gz)
+                g_cr = jnp.sum(g_r * w)
+                g_cg = jnp.sum(g_g * w)
+                g_cb_col = jnp.sum(g_b * w)
 
-            g_nx_e = jnp.sum(g_nx * w + g_pn * ch[A_PX] + g_den * rx)
-            g_ny_e = jnp.sum(g_ny * w + g_pn * ch[A_PY] + g_den * ry)
-            g_nz_e = jnp.sum(g_nz * w + g_pn * ch[A_PZ] + g_den)
-            g_px = jnp.sum(g_pn * nxs)
-            g_py = jnp.sum(g_pn * nys)
-            g_pz = jnp.sum(g_pn * nzs + gz_fb)
+                # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
+                gz = g_dep * w
+                g_pn = jnp.where(use_plane, gz / denom_safe, 0.0)
+                g_den = jnp.where(use_plane, -gz * pn / (denom_safe * denom_safe), 0.0)
+                gz_fb = jnp.where(use_plane, 0.0, gz)
 
-            grow = jnp.stack(
-                [g_u, g_v, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_col,
-                 g_nx_e, g_ny_e, g_nz_e, g_px, g_py, g_pz, 0.0]
-            )
-            dent_ref[0, pl.ds(i, 1), :] = grow.reshape(1, N_ATTR)
+                g_nx_e = jnp.sum(g_nx * w + g_pn * chk[A_PX] + g_den * rx)
+                g_ny_e = jnp.sum(g_ny * w + g_pn * chk[A_PY] + g_den * ry)
+                g_nz_e = jnp.sum(g_nz * w + g_pn * chk[A_PZ] + g_den)
+                g_px = jnp.sum(g_pn * nxs)
+                g_py = jnp.sum(g_pn * nys)
+                g_pz = jnp.sum(g_pn * nzs + gz_fb)
 
-            return (
-                i - 1, Tk,
-                Sr + w * cr, Sg + w * cg, Sb + w * cb,
-                Snx + w * nxs, Sny + w * nys, Snz + w * nzs,
-                Sd + w * z_px, So + w,
-            )
+                grows.append(
+                    jnp.stack(
+                        [g_u, g_v, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_col,
+                         g_nx_e, g_ny_e, g_nz_e, g_px, g_py, g_pz, 0.0]
+                    )
+                )
+
+                Sr = Sr + w * cr
+                Sg = Sg + w * cg
+                Sb = Sb + w * cb
+                Snx = Snx + w * nxs
+                Sny = Sny + w * nys
+                Snz = Snz + w * nzs
+                Sd = Sd + w * z_px
+                So = So + w
+
+            dent_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.stack(grows[::-1], axis=0)
+            return (ci - 1, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So)
 
         def cond2(carry):
             return carry[0] >= 0
 
         jax.lax.while_loop(
             cond2, body2,
-            (n_done - 1, T_fin, zero, zero, zero, zero, zero, zero, zero, zero),
+            (n_done - 1, zero, zero, zero, zero, zero, zero, zero, zero),
         )
 
     return kernel
@@ -335,7 +360,7 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         in_specs=[counts_spec, intr_spec, entries_spec, blk3(), blk3(), blk1(), blk1(), blk1()],
         out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(((cap // CKPT) * TILE_H, TILE_W), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM(((cap // CHUNK) * TILE_H, TILE_W), jnp.float32)],
         interpret=interpret,
     )
 
@@ -507,9 +532,11 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
         axis=-1,
     )  # (N, 16)
 
-    # slots >= counts[t] are never read by the kernel (the while bound is the
-    # count), so no validity masking of the gathered slab is needed.
     entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
+    # rows past a tile's count can be read by its LAST 8-entry chunk: zero
+    # their A_VAL so their alpha vanishes (other lanes can stay garbage)
+    entry_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts
+    entries = entries.at[..., A_VAL].set(entry_valid.astype(jnp.float32))
 
     composite = _make_composite(hp, wp, cap, n_tiles, interpret)
     rgb, nrm, dep, opa, _T = composite(entries, counts, intr.astype(jnp.float32))

@@ -3,17 +3,25 @@
 TPU-native equivalent of the reference's tracking math:
   projective_warp  <- `src/core/optimizer.py:130-182` (+ CUDA twin
                       `tracking.cu:133-218`)
-  icp_terms        <- `src/core/optimizer.py:327-387` point-to-plane ICP
-  rgb_terms        <- `src/core/optimizer.py:278-325` photometric term
+  ICP term         <- `src/core/optimizer.py:327-387` point-to-plane ICP
+  photometric term <- `src/core/optimizer.py:278-325`
   solve_gn         <- `tracking.cu:929-950` (Eigen colPivHouseholderQr with
                       +lm*I damping; here a 6x6 `jnp.linalg.solve` on device —
                       no GPU->CPU->GPU round-trip like the reference)
 
-Design: instead of materializing per-pixel 27-float JtJ/Jtr blocks and
-reducing (what the reference's dead `reduce.cu` sketches), we build the
-masked Jacobian J (HW, 6) and residual r (HW,) and let the MXU compute
-H = (w*J)^T J and g = (w*J)^T r as 6xHW matmuls — the fused reduction the
-CUDA version never finished, expressed the XLA way.
+Design, shaped by TPU cost structure rather than the CUDA original:
+  * The masked Jacobian J (P, 6) and residual r (P,) are reduced to
+    H = (wJ)^T J and g = (wJ)^T r by the MXU — the fused reduction the
+    reference's dead `reduce.cu` sketches, expressed the XLA way.
+  * Image resampling is the real cost on TPU (gathers, not FLOPs), and the
+    gather cost is flat in channel count — so ALL nearest-sampled maps
+    (vertex, normal, mask) ride ONE gather and all bilinear-sampled maps
+    (intensity, gradient) ride another, instead of the reference's five
+    separate grid_sample calls per iteration.
+  * `stride` subsamples the constraint grid (model-side pixels): the GN
+    optimum is statistically unchanged with a quarter of the constraints,
+    and the gather cost drops with the index count. stride=1 reproduces the
+    reference exactly; the default config uses 2 at the finest level.
 """
 from __future__ import annotations
 
@@ -26,20 +34,27 @@ from eggfusion_tpu.ops import image as imops
 from eggfusion_tpu.ops.pyramid import PyramidLevel
 
 
-def projective_warp(transform: jnp.ndarray, disp: jnp.ndarray, intr: jnp.ndarray):
+def projective_warp(transform: jnp.ndarray, disp: jnp.ndarray, intr: jnp.ndarray,
+                    stride: int = 1):
     """Dense projective warp + 2x6 SE(3) Jacobian.
 
     Matches `projective_transform` (`optimizer.py:130-182`): pixels are lifted
     to normalized homogeneous-with-inverse-depth 4-vectors [u, v, 1, d],
     multiplied by T^T, perspective-divided, and mapped to [-1, 1] grid coords.
 
+    `disp` may already be stride-sliced; `stride` scales the pixel grid so the
+    warped coords still address the FULL-resolution target. `intr` and the
+    [-1, 1] normalization always refer to the full-resolution image.
+
     Returns (warped_grid (H, W, 2) in [-1, 1], dxdxi (H, W, 2, 6)).
     """
     d = disp[..., 0] if disp.ndim == 3 else disp
-    H, W = d.shape
+    Hs, Ws = d.shape
+    H, W = Hs * stride, Ws * stride
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
     ys, xs = jnp.meshgrid(
-        jnp.arange(H, dtype=d.dtype), jnp.arange(W, dtype=d.dtype), indexing="ij"
+        jnp.arange(Hs, dtype=d.dtype) * stride, jnp.arange(Ws, dtype=d.dtype) * stride,
+        indexing="ij",
     )
     us = (xs - cx) / fx
     vs = (ys - cy) / fy
@@ -57,7 +72,7 @@ def projective_warp(transform: jnp.ndarray, disp: jnp.ndarray, intr: jnp.ndarray
             O, dt * fy, -vt * dt * fy, -(1 + vt * vt) * fy, ut * vt * fy, ut * fy,
         ],
         axis=-1,
-    ).reshape(H, W, 2, 6)
+    ).reshape(Hs, Ws, 2, 6)
 
     wx = 2.0 * (fx * ut + cx) / (W - 1) - 1.0
     wy = 2.0 * (fy * vt + cy) / (H - 1) - 1.0
@@ -70,80 +85,6 @@ def _weighted_normal_eq(J: jnp.ndarray, r: jnp.ndarray, w: jnp.ndarray):
     H = Jw.T @ J  # 6xN @ Nx6 -> MXU
     g = Jw.T @ r
     return H, g, jnp.sum(w)
-
-
-def icp_terms(
-    model: PyramidLevel,
-    frame: PyramidLevel,
-    transform: jnp.ndarray,
-    coords: jnp.ndarray,
-    angle_thres_deg: float,
-    dist_thres: float,
-):
-    """Point-to-plane ICP normal equations (reference `optimizer.py:327-387`).
-
-    Gates (identical to the reference): grid bound 0.98, NaN normals, positive
-    transformed depth, normal-angle sine < sin(angle_thres), distance <
-    dist_thres, model & frame masks (frame mask taken at the ORIGINAL pixel,
-    matching the reference's unsampled `mask_curr` quirk).
-    """
-    Hh, Ww = coords.shape[:2]
-    vprev = (model.vertex.reshape(-1, 3) @ transform[:3, :3].T) + transform[:3, 3]
-    nprev = model.normal.reshape(-1, 3) @ transform[:3, :3].T
-
-    vcurr = imops.nearest_sample(frame.vertex, coords, padding="border").reshape(-1, 3)
-    ncurr = imops.nearest_sample(frame.normal, coords, padding="border").reshape(-1, 3)
-
-    delta_v = vcurr - vprev
-    cross_n = jnp.cross(ncurr, nprev)
-    dist = jnp.linalg.norm(delta_v, axis=-1)
-    sine = jnp.linalg.norm(cross_n, axis=-1)
-
-    bound = 0.98
-    c = coords.reshape(-1, 2)
-    inmask = (c[:, 0] > -bound) & (c[:, 0] < bound) & (c[:, 1] > -bound) & (c[:, 1] < bound)
-    nan_mask = ~jnp.any(jnp.isnan(cross_n), axis=-1)
-    pos_mask = vprev[:, 2] > 0
-    valid = (sine < math.sin(angle_thres_deg * math.pi / 180.0)) & (dist < dist_thres)
-    w = (
-        inmask
-        & nan_mask
-        & pos_mask
-        & valid
-        & model.mask.reshape(-1)
-        & frame.mask.reshape(-1)
-    ).astype(coords.dtype)
-
-    r = jnp.sum(ncurr * delta_v, axis=-1)
-    J = jnp.concatenate([ncurr, jnp.cross(vprev, ncurr)], axis=-1)
-    J = jnp.nan_to_num(J)
-    r = jnp.nan_to_num(r)
-    return _weighted_normal_eq(J, r, w)
-
-
-def rgb_terms(model: PyramidLevel, frame: PyramidLevel, coords: jnp.ndarray, Jc: jnp.ndarray):
-    """Photometric normal equations (reference `optimizer.py:278-325`).
-
-    Gates: grid bound 0.90, frame gradient magnitude > 1 at the ORIGINAL pixel
-    (reference quirk), model mask, warped frame mask (nearest, zeros) > 0.8.
-    """
-    bound = 0.90
-    c = coords.reshape(-1, 2)
-    inmask = (c[:, 0] > -bound) & (c[:, 0] < bound) & (c[:, 1] > -bound) & (c[:, 1] < bound)
-    grad_mask = frame.grad[..., 2].reshape(-1) > 1.0
-    mask_prev = model.mask.reshape(-1)
-
-    sample_I = imops.bilinear_sample(frame.intensity, coords, padding="zeros")[..., 0]
-    Ji = imops.bilinear_sample(frame.grad[..., :2], coords, padding="zeros")  # (H, W, 2)
-    mask_curr = imops.nearest_sample(frame.mask.astype(coords.dtype), coords, padding="zeros")[..., 0] > 0.8
-
-    w = (inmask & mask_prev & grad_mask & mask_curr.reshape(-1)).astype(coords.dtype)
-
-    J = jnp.einsum("hwk,hwkj->hwj", Ji, Jc).reshape(-1, 6)
-    r = (model.intensity[..., 0] - sample_I).reshape(-1)
-    J = jnp.nan_to_num(J)
-    r = jnp.nan_to_num(r)
-    return _weighted_normal_eq(J, r, w)
 
 
 def solve_gn(A: jnp.ndarray, b: jnp.ndarray, lm: float = 1.0e-6) -> jnp.ndarray:
@@ -163,15 +104,79 @@ def build_normal_equations(
     dist_thres: float,
     use_rgb: bool,
     rgb_weight: float,
+    stride: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One GN build at one pyramid level: A (6, 6), b (6,), valid count.
 
-    Mirrors `Tracker.tracking_optimization` (`tracker.py:194-238`).
+    Mirrors `Tracker.tracking_optimization` (`tracker.py:194-238`) with the
+    reference's exact gates:
+      ICP  — grid bound 0.98, NaN normals, positive transformed depth,
+             normal-angle sine < sin(angle_thres), distance < dist_thres,
+             model & frame masks (frame mask at the ORIGINAL pixel, matching
+             the reference's unsampled `mask_curr` quirk).
+      RGB  — grid bound 0.90, frame gradient magnitude > 1 at the ORIGINAL
+             pixel (reference quirk), model mask, warped frame mask > 0.8.
     """
-    coords, Jc = projective_warp(transform, model.disp, model.intr)
-    A, b, n = icp_terms(model, frame, transform, coords, angle_thres_deg, dist_thres)
+    sl = (lambda x: x[::stride, ::stride]) if stride > 1 else (lambda x: x)
+    m_disp = sl(model.disp)
+    m_vert = sl(model.vertex)
+    m_norm = sl(model.normal)
+    m_mask = sl(model.mask)
+    m_int = sl(model.intensity)
+    f_mask_orig = sl(frame.mask)
+    f_gradmag = sl(frame.grad[..., 2])
+
+    coords, Jc = projective_warp(transform, m_disp, model.intr, stride)
+    c = coords.reshape(-1, 2)
+
+    # ---- packed resampling of the full-res frame (one gather per mode) -----
+    near_pack = jnp.concatenate(
+        [frame.vertex, frame.normal, frame.mask.astype(coords.dtype)[..., None]
+         if frame.mask.ndim == 2 else frame.mask.astype(coords.dtype)], axis=-1
+    )
+    ns = imops.nearest_sample(near_pack, coords, padding="border")
+    vcurr = ns[..., 0:3].reshape(-1, 3)
+    ncurr = ns[..., 3:6].reshape(-1, 3)
+    mask_warp = ns[..., 6].reshape(-1) > 0.8
+
+    # ---- point-to-plane ICP -------------------------------------------------
+    vprev = (m_vert.reshape(-1, 3) @ transform[:3, :3].T) + transform[:3, 3]
+    nprev = m_norm.reshape(-1, 3) @ transform[:3, :3].T
+
+    delta_v = vcurr - vprev
+    cross_n = jnp.cross(ncurr, nprev)
+    dist = jnp.linalg.norm(delta_v, axis=-1)
+    sine = jnp.linalg.norm(cross_n, axis=-1)
+
+    bound = 0.98
+    inb_icp = (c[:, 0] > -bound) & (c[:, 0] < bound) & (c[:, 1] > -bound) & (c[:, 1] < bound)
+    nan_mask = ~jnp.any(jnp.isnan(cross_n), axis=-1)
+    pos_mask = vprev[:, 2] > 0
+    gates = (sine < math.sin(angle_thres_deg * math.pi / 180.0)) & (dist < dist_thres)
+    w_icp = (
+        inb_icp & nan_mask & pos_mask & gates
+        & m_mask.reshape(-1) & f_mask_orig.reshape(-1)
+    ).astype(coords.dtype)
+
+    r_icp = jnp.nan_to_num(jnp.sum(ncurr * delta_v, axis=-1))
+    J_icp = jnp.nan_to_num(jnp.concatenate([ncurr, jnp.cross(vprev, ncurr)], axis=-1))
+    A, b, n = _weighted_normal_eq(J_icp, r_icp, w_icp)
+
+    # ---- photometric --------------------------------------------------------
     if use_rgb:
-        A_rgb, b_rgb, n_rgb = rgb_terms(model, frame, coords, Jc)
+        bil_pack = jnp.concatenate([frame.intensity, frame.grad[..., :2]], axis=-1)
+        bs = imops.bilinear_sample(bil_pack, coords, padding="zeros")
+        sample_I = bs[..., 0]
+        Ji = bs[..., 1:3]
+
+        bound = 0.90
+        inb_rgb = (c[:, 0] > -bound) & (c[:, 0] < bound) & (c[:, 1] > -bound) & (c[:, 1] < bound)
+        grad_gate = f_gradmag.reshape(-1) > 1.0
+        w_rgb = (inb_rgb & m_mask.reshape(-1) & grad_gate & mask_warp).astype(coords.dtype)
+
+        J_rgb = jnp.nan_to_num(jnp.einsum("hwk,hwkj->hwj", Ji, Jc).reshape(-1, 6))
+        r_rgb = jnp.nan_to_num((m_int[..., 0] - sample_I).reshape(-1))
+        A_rgb, b_rgb, n_rgb = _weighted_normal_eq(J_rgb, r_rgb, w_rgb)
         A = A + rgb_weight * A_rgb
         b = b + rgb_weight * b_rgb
         n = n + n_rgb

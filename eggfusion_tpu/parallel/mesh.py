@@ -79,18 +79,21 @@ def make_dp_opt_step(render_at, mcfg: MapperConfig, mesh: Mesh, sh_degree: int =
 
 
 def make_sharded_fusion(mesh: Mesh, scfg, fusion_dist_thres: float):
-    """Pixel-row-sharded fusion wrapper: frame maps shard over rows; the
-    information-filter segment sums become per-device partials + all-reduce."""
-    rows = NamedSharding(mesh, P("kf"))
+    """Surfel-sharded fusion wrapper: the per-surfel gather/update shards over
+    the surfel axis (frame maps replicated); XLA all-gathers only the small
+    per-device stats."""
+    surf = NamedSharding(mesh, P("kf"))
     repl = NamedSharding(mesh, P())
 
     @jax.jit
-    def fuse(s: sf.SurfelMap, imap, vertex_w, normal_w, color, depth, geo_mask, model_depth, time):
-        imap = jax.lax.with_sharding_constraint(imap, rows)
-        vertex_w = jax.lax.with_sharding_constraint(vertex_w, rows)
-        normal_w = jax.lax.with_sharding_constraint(normal_w, rows)
+    def fuse(s: sf.SurfelMap, imap, w2c, intr, vertex_w, normal_w, color, depth, geo_mask, model_depth, time):
+        s = s.replace(
+            xyz=jax.lax.with_sharding_constraint(s.xyz, surf),
+            eta=jax.lax.with_sharding_constraint(s.eta, surf),
+            sigma2=jax.lax.with_sharding_constraint(s.sigma2, surf),
+        )
         s2, stats = fusion.fuse_surfels(
-            s, imap, vertex_w, normal_w, color, depth, geo_mask, model_depth,
+            s, imap, w2c, intr, vertex_w, normal_w, color, depth, geo_mask, model_depth,
             fusion_dist_thres, scfg, time,
         )
         s2 = jax.lax.with_sharding_constraint(s2, jax.tree_util.tree_map(lambda _: repl, s2))
@@ -153,7 +156,7 @@ def run_multichip_dryrun(n_devices: int) -> None:
     imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), intr, Wd, Ht)
     vert = jnp.zeros((Ht, Wd, 3)).at[..., 2].set(2.0)
     nrmm = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (Ht, Wd, 1))
-    s, stats = fuse(s, imap, vert, nrmm, kf_batch["color"][0], kf_batch["depth"][0],
+    s, stats = fuse(s, imap, jnp.eye(4), intr, vert, nrmm, kf_batch["color"][0], kf_batch["depth"][0],
                     kf_batch["geo_mask"][0], kf_batch["depth"][0], jnp.int32(1))
     jax.block_until_ready(s.xyz)
     print(f"multichip dryrun ok on {n_devices} devices: loss={float(loss):.4f}, "

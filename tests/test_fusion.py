@@ -72,7 +72,7 @@ class TestFusion:
         # measurement at the surfel's pixel, offset by 1 cm in x
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.01, 0.0, 2.0))
         model_depth = dep
-        s2, stats = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, model_depth, 0.1, CFG, jnp.int32(1))
+        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, model_depth, 0.1, CFG, jnp.int32(1))
         assert int(stats.fused_pixels) == 1
         # information filter: lam_old = 1, lam_meas = 1/(2*1)^2 = 0.25
         # x_new = (eta_old + 0.25 * 0.01) / 1.25 in x; eta_old_x = 0
@@ -87,14 +87,14 @@ class TestFusion:
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 2.0))
         for t in range(50):
             imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
-            s, _ = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.2, CFG, jnp.int32(t))
+            s, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.2, CFG, jnp.int32(t))
         assert abs(float(s.xyz[0, 0])) < 0.01  # pulled toward repeated measurement
 
     def test_distance_gate_counts_error(self):
         s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 3.0))  # 1 m off
-        s2, stats = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
         assert int(stats.fused_pixels) == 0
         assert int(s2.observe_count[0]) == 0
         assert int(s2.error_count[0]) == 1
@@ -105,7 +105,7 @@ class TestFusion:
         s = s.replace(stable=s.stable.at[0].set(True))
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.02, 0.0, 2.0))
-        s2, _ = fusion.fuse_surfels(s, imap, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        s2, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
         np.testing.assert_allclose(np.asarray(s2.xyz[0]), [0, 0, 2.0], atol=1e-6)
         assert int(s2.observe_count[0]) == 1  # still counted
 
