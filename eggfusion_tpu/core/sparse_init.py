@@ -2,14 +2,19 @@
 
 Replaces the reference's ORB-SLAM2 C++ frontend (`/root/reference/src/core/
 tracker.py:85-122`, submodule N3): the dense tracker only needs a *delta
-seed* (`tracker.py:147-151`), so a lightweight ORB + depth-PnP visual
-odometer is sufficient — and keeps the whole stack free of the ORB-SLAM2
-build. Runs on host CPU (like ORB-SLAM2 did), overlapped with device work.
+seed* (`tracker.py:147-151`), so a lightweight feature odometer is
+sufficient — and keeps the whole stack free of the ORB-SLAM2 build. Runs on
+host CPU (like ORB-SLAM2 did), overlapped with device work.
 
-Pipeline per frame: ORB keypoints/descriptors -> ratio-test matching against
-the previous keyframe -> 3D-2D PnP RANSAC using the previous frame's depth ->
-w2c pose chained onto the previous estimate. Falls back to None (caller uses
-the motion model) when matching fails.
+Two backends, selected by `Tracking.sparse_backend`:
+  "native" (default) — the first-party C++ frontend
+      (`native/sparse_frontend.cpp`): FAST + steered binary descriptors +
+      3D-3D Horn RANSAC (RGB-D gives depth on both sides, so the 3D-3D
+      closed form replaces ORB-SLAM2's PnP).
+  "opencv" — ORB keypoints -> ratio-test matching -> 3D-2D PnP RANSAC.
+
+Both return the estimated w2c (chained delta onto the previous estimate) or
+None on failure (caller falls back to the motion model).
 """
 from __future__ import annotations
 
@@ -21,10 +26,48 @@ except Exception:  # pragma: no cover
     cv2 = None
 
 
-class SparseInitializer:
+class NativeSparseInitializer:
+    """C++ frontend wrapper (FAST + binary descriptors + 3D-3D RANSAC)."""
+
+    def __init__(self, cfg):
+        from eggfusion_tpu.native import sparse as nsp
+
+        self._nsp = nsp
+        t = cfg.Tracking
+        self.max_kp = int(t.get("orb_features", 1500))
+        self.threshold = int(t.get("fast_threshold", 15))
+        self.min_matches = int(t.get("orb_min_matches", 25))
+        self.inlier_thresh = float(t.get("sparse_inlier_thresh", 0.05))
+        calib = cfg.Dataset.Calibration
+        self.fx, self.fy = float(calib.fx), float(calib.fy)
+        self.cx, self.cy = float(calib.cx), float(calib.cy)
+        self.prev = None  # (kps, desc, depth, w2c)
+
+    def track(self, frame) -> np.ndarray | None:
+        gray = (np.asarray(frame.pyramid[0].intensity)[..., 0] * 255).astype(np.uint8)
+        depth = np.asarray(frame.depth)[..., 0].astype(np.float32)
+        kps, desc = self._nsp.detect(gray, threshold=self.threshold, max_kp=self.max_kp)
+
+        result = None
+        if self.prev is not None and len(kps) >= 3 and len(self.prev[0]) >= 3:
+            kp0, d0, depth0, w2c0 = self.prev
+            delta, n_inl = self._nsp.track(
+                kp0, d0, kps, desc, depth0, depth,
+                self.fx, self.fy, self.cx, self.cy,
+                min_inliers=self.min_matches, inlier_thresh=self.inlier_thresh,
+            )
+            if delta is not None:
+                result = (delta @ np.asarray(w2c0, np.float64)).astype(np.float32)
+
+        w2c_state = result if result is not None else np.asarray(frame.w2c_matrix(), np.float64)
+        self.prev = (kps, desc, depth, w2c_state)
+        return result
+
+
+class OpenCVSparseInitializer:
     def __init__(self, cfg):
         if cv2 is None:
-            raise RuntimeError("SparseInitializer requires OpenCV")
+            raise RuntimeError("OpenCVSparseInitializer requires OpenCV")
         n_features = int(cfg.Tracking.get("orb_features", 1500))
         self.orb = cv2.ORB_create(nfeatures=n_features)
         self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=False)
@@ -74,3 +117,16 @@ class SparseInitializer:
         w2c_for_state = result if result is not None else np.asarray(frame.w2c_matrix(), np.float64)
         self.prev = (kps, desc, depth, w2c_for_state)
         return result
+
+
+def SparseInitializer(cfg):
+    """Factory honoring `Tracking.sparse_backend` (native | opencv), with a
+    graceful fallback to OpenCV if the native build is unavailable."""
+    backend = str(cfg.Tracking.get("sparse_backend", "native"))
+    if backend == "native":
+        try:
+            return NativeSparseInitializer(cfg)
+        except Exception as e:  # pragma: no cover - build-env dependent
+            print(f"native sparse frontend unavailable ({e}); falling back to OpenCV")
+            backend = "opencv"
+    return OpenCVSparseInitializer(cfg)

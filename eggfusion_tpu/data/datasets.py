@@ -36,6 +36,37 @@ except Exception:  # pragma: no cover
     Image = None
 
 
+def build_undistort_map(K: np.ndarray, dist: np.ndarray, width: int, height: int):
+    """Undistortion remap tables (cv2.initUndistortRectifyMap equivalent).
+
+    For each UNDISTORTED target pixel, applies the radial-tangential
+    (k1, k2, p1, p2, k3) forward model to find its source pixel in the
+    distorted image. Vectorized numpy; built once per dataset.
+    """
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    k1, k2, p1, p2, k3 = [float(d) for d in dist[:5]]
+    ys, xs = np.meshgrid(np.arange(height, dtype=np.float64),
+                         np.arange(width, dtype=np.float64), indexing="ij")
+    x = (xs - cx) / fx
+    y = (ys - cy) / fy
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return (
+        (xd * fx + cx).astype(np.float32),
+        (yd * fy + cy).astype(np.float32),
+    )
+
+
+def remap_image(img: np.ndarray, xymap) -> np.ndarray:
+    """Undistort via the native bilinear remap (cv2.remap INTER_LINEAR
+    equivalent, `native/frame_loader.cpp`)."""
+    from eggfusion_tpu.native import loader as nloader
+
+    return nloader.remap(img, xymap[0], xymap[1])
+
+
 class RGBDDataset:
     """Base dataset: calibration, undistortion, threaded prefetch."""
 
@@ -59,9 +90,9 @@ class RGBDDataset:
              calib.get("p2", 0.0), calib.get("k3", 0.0)], np.float64
         )
         self._distorted = bool(np.any(dist != 0))
-        if self._distorted and cv2 is not None:
-            self.xymap = cv2.initUndistortRectifyMap(
-                K, dist, np.eye(3), K, (self.intrinsics.width, self.intrinsics.height), cv2.CV_32FC1
+        if self._distorted:
+            self.xymap = build_undistort_map(
+                K, dist, self.intrinsics.width, self.intrinsics.height
             )
             self.mask = (
                 (self.xymap[0] > 0)
@@ -106,7 +137,7 @@ class RGBDDataset:
     def __getitem__(self, idx: int):
         color = self._read_image(self.color_paths[idx])
         if self.xymap is not None:
-            color = cv2.remap(color, self.xymap[0], self.xymap[1], cv2.INTER_LINEAR)
+            color = remap_image(color, self.xymap)
         depth = self._read_image(self.depth_paths[idx])
         return self.ts[idx], color, depth, self.mask[..., None], self.poses[idx]
 
