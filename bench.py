@@ -25,7 +25,9 @@ BASELINE_FPS = 30.0
 
 
 def main() -> None:
-    n_warm = int(os.environ.get("BENCH_WARMUP", 5))
+    # warmup must cross a sliding-window-optimization frame (every
+    # sw_optimize_freq = 6 frames) or opt_step compiles INSIDE the timed loop
+    n_warm = int(os.environ.get("BENCH_WARMUP", 8))
     n_frames = int(os.environ.get("BENCH_FRAMES", 40))
     width = int(os.environ.get("BENCH_WIDTH", 1280))
     height = int(os.environ.get("BENCH_HEIGHT", 704))

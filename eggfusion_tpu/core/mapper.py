@@ -138,6 +138,14 @@ def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict
     return total
 
 
+@jax.jit
+def _geo_snapshot(s: sf.SurfelMap) -> dict:
+    """Round-start geometry for the drift regularizer. Fresh device buffers
+    (xyz + 0.0, not an alias): opt_step donates the surfel SoA, so the
+    snapshot must not share buffers with it."""
+    return {"position": s.xyz + 0.0, "normal": s.get_normal()}
+
+
 @functools.partial(jax.jit)
 def _relative_pose_mag(w2c_a, w2c_b):
     """(rotation angle deg, translation dist) between two c2w poses —
@@ -284,7 +292,11 @@ class Mapping:
         render_at = self.renderer.render_at
         sh_degree = self.renderer.active_sh_degree
 
-        @functools.partial(jax.jit, static_argnames=("width", "height", "first"))
+        # donate_argnums: the surfel SoA is tens of MB at production capacity;
+        # donating lets XLA update it in place instead of copying the
+        # pass-through fields every call.
+        @functools.partial(jax.jit, static_argnames=("width", "height", "first"),
+                           donate_argnums=(0,))
         def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, key,
                        width: int, height: int, first: bool):
             """Per-frame map update (reference `surfels_preprocess`,
@@ -321,7 +333,8 @@ class Mapping:
         def render_model(s: sf.SurfelMap, w2c, intr, width: int, height: int):
             return render_at(sf.render_params(s), w2c, intr, width, height)
 
-        @functools.partial(jax.jit, static_argnames=("width", "height"))
+        @functools.partial(jax.jit, static_argnames=("width", "height"),
+                           donate_argnums=(0, 1))
         def opt_step(s: sf.SurfelMap, moments, step, kf: dict, w2c, intr,
                      geo_snapshot: dict, lrs: dict, width: int, height: int):
             """One render+loss+Adam map-optimization step (reference
@@ -423,10 +436,7 @@ class Mapping:
         return self.model_map
 
     def _optimize(self, keyframes: list, iters: int, lrs: dict) -> float:
-        geo_snapshot = {
-            "position": jax.lax.stop_gradient(self.surfels.xyz),
-            "normal": jax.lax.stop_gradient(self.surfels.get_normal()),
-        }
+        geo_snapshot = _geo_snapshot(self.surfels)
         params = {k: getattr(self.surfels, k) for k in OPT_FIELDS}
         moments = _adam_init(params)
         step = jnp.int32(0)

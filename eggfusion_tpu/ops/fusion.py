@@ -111,11 +111,17 @@ def fuse_surfels(
     pixc = jnp.minimum(pix, HW - 1)
     winner = ok & (imap.reshape(-1)[pixc] == jnp.arange(N, dtype=jnp.int32))
 
-    v_m = vertex_w.reshape(-1, 3)[pixc]
-    n_m = normal_w.reshape(-1, 3)[pixc]
-    c_m = color.reshape(-1, 3)[pixc]
-    d_m = depth.reshape(-1)[pixc]
-    valid_meas = geo_mask.reshape(-1)[pixc] & (d_m > 0)
+    # ONE packed gather for all per-pixel measurements: gather cost on TPU is
+    # dominated by the random index stream, not the row width, so 5 separate
+    # N-row gathers (~4-5 ms each at 600k on v5e) collapse into one.
+    meas = jnp.concatenate(
+        [vertex_w, normal_w, color, depth, geo_mask.astype(jnp.float32)], axis=-1
+    ).reshape(-1, 11)[pixc]
+    v_m = meas[:, 0:3]
+    n_m = meas[:, 3:6]
+    c_m = meas[:, 6:9]
+    d_m = meas[:, 9]
+    valid_meas = (meas[:, 10] > 0.5) & (d_m > 0)
 
     dist = jnp.linalg.norm(v_m - s.xyz, axis=-1)
     ndot = jnp.sum(n_m * s.get_normal(), axis=-1)
