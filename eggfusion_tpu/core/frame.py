@@ -86,20 +86,37 @@ class Frame:
         self.pyramid = build_pyramid(self.color, self.depth, self.mask, self.intr, nlevel=nlevel)
 
     # ---- poses --------------------------------------------------------------
+    # matrices are cached per update: w2c/c2w are read several times per frame
+    # (tracker, preprocess, mapping, keyframing, trajectory) and each eager
+    # rebuild is a separate device dispatch.
 
     def update_transform(self, R, t) -> None:
         self.cam_R = jnp.asarray(R, jnp.float32)
         self.cam_t = jnp.asarray(t, jnp.float32)
+        self._w2c = None
+        self._c2w = None
+
+    def update_transform_matrix(self, w2c) -> None:
+        """Set the pose from a full (4, 4) w2c without re-deriving it."""
+        w2c = jnp.asarray(w2c, jnp.float32)
+        self.cam_R = w2c[:3, :3]
+        self.cam_t = w2c[:3, 3]
+        self._w2c = w2c
+        self._c2w = None
 
     def w2c_matrix(self, gt: bool = False) -> jnp.ndarray:
         if gt:
             return cam.world_to_camera(self.cam_R_gt, self.cam_t_gt)
-        return cam.world_to_camera(self.cam_R, self.cam_t)
+        if getattr(self, "_w2c", None) is None:
+            self._w2c = cam.world_to_camera(self.cam_R, self.cam_t)
+        return self._w2c
 
     def c2w_matrix(self, gt: bool = False) -> jnp.ndarray:
         if gt:
             return cam.camera_to_world(self.cam_R_gt, self.cam_t_gt)
-        return cam.camera_to_world(self.cam_R, self.cam_t)
+        if getattr(self, "_c2w", None) is None:
+            self._c2w = cam.camera_to_world(self.cam_R, self.cam_t)
+        return self._c2w
 
     @property
     def world_view_transform(self) -> jnp.ndarray:

@@ -297,10 +297,11 @@ class Mapping:
         # pass-through fields every call.
         @functools.partial(jax.jit, static_argnames=("width", "height", "first"),
                            donate_argnums=(0,))
-        def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, key,
+        def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, root_key,
                        width: int, height: int, first: bool):
             """Per-frame map update (reference `surfels_preprocess`,
             `mapper.py:242-324`): fuse then spawn."""
+            key = jax.random.fold_in(root_key, time)  # per-frame key, in-program
             depth = frame_map["depth_map"]
             stats = None
             if not first:
@@ -336,14 +337,19 @@ class Mapping:
         @functools.partial(jax.jit, static_argnames=("width", "height"),
                            donate_argnums=(0, 1))
         def opt_step(s: sf.SurfelMap, moments, step, kf: dict, w2c, intr,
-                     geo_snapshot: dict, lrs: dict, width: int, height: int):
+                     geo_snapshot: dict, lrs: dict, width: int, height: int,
+                     cache=None):
             """One render+loss+Adam map-optimization step (reference
-            `frame_batch_optimization` inner loop, `mapper.py:351-368`)."""
+            `frame_batch_optimization` inner loop, `mapper.py:351-368`).
+
+            `cache` is an optional per-camera render cache (tile binning) —
+            Adam moves positions by ~1e-5 m per step, so tile assignments
+            stay valid across the few steps run on one keyframe."""
             params = {k: getattr(s, k) for k in OPT_FIELDS}
 
             def loss_fn(p):
                 s2 = s.replace(**p)
-                out = render_at(sf.render_params(s2), w2c, intr, width, height)
+                out = render_at(sf.render_params(s2), w2c, intr, width, height, cache=cache)
                 return compute_loss(out, kf, s2, geo_snapshot, mcfg)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -394,15 +400,18 @@ class Mapping:
                 sigma2=jnp.stack([s2p, s2n], axis=-1), valid=valid,
             )
 
+        precompute_cache = self.renderer.precompute_cache
+
+        @functools.partial(jax.jit, static_argnames=("width", "height"))
+        def bin_cache(s: sf.SurfelMap, w2c, intr, width: int, height: int):
+            return precompute_cache(sf.render_params(s), w2c, intr, width, height)
+
         self._map_update = map_update
         self._render_model = render_model
         self._opt_step = opt_step
+        self._bin_cache = bin_cache
 
     # ----------------------------------------------------------------- host --
-
-    def _next_key(self):
-        self._rng, k = jax.random.split(self._rng)
-        return k
 
     def mapping(self, frame, frame_map: dict) -> None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
@@ -410,7 +419,7 @@ class Mapping:
         first = self.time == 0
         self.surfels, _ = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
-            jnp.int32(self.time), self._next_key(), frame.width, frame.height, first,
+            jnp.int32(self.time), self._rng, frame.width, frame.height, first,
         )
 
         if self.time % self.mcfg.sw_add_freq == 0:
@@ -435,33 +444,49 @@ class Mapping:
         }
         return self.model_map
 
-    def _optimize(self, keyframes: list, iters: int, lrs: dict) -> float:
+    def _optimize(self, runs: list, lrs: dict) -> float:
+        """Adam-optimize the map over a schedule of (keyframe, n_iters) runs.
+
+        Multi-iteration runs on one keyframe precompute the render cache
+        (tile binning) once: Adam moves positions ~1e-5 m per step, so the
+        binning stays valid and its two N*K-key sorts (~22 ms per render at
+        600k capacity) are paid once per run instead of once per step.
+        """
         geo_snapshot = _geo_snapshot(self.surfels)
         params = {k: getattr(self.surfels, k) for k in OPT_FIELDS}
         moments = _adam_init(params)
         step = jnp.int32(0)
         lrs_dev = {k: jnp.float32(v) for k, v in lrs.items()}
         loss = jnp.float32(jnp.nan)
-        rng = np.random.default_rng(self.time)
-        for _ in range(iters):
-            kf = keyframes[rng.integers(len(keyframes))]
-            self.surfels, moments, step, loss = self._opt_step(
-                self.surfels, moments, step, kf.device_maps(),
-                jnp.asarray(kf.w2c), jnp.asarray(kf.intr),
-                geo_snapshot, lrs_dev, kf.width, kf.height,
+        for kf, n in runs:
+            kfm = kf.device_maps()
+            w2c = jnp.asarray(kf.w2c)
+            intr = jnp.asarray(kf.intr)
+            cache = (
+                self._bin_cache(self.surfels, w2c, intr, kf.width, kf.height)
+                if n > 1 else None
             )
+            for _ in range(n):
+                self.surfels, moments, step, loss = self._opt_step(
+                    self.surfels, moments, step, kfm, w2c, intr,
+                    geo_snapshot, lrs_dev, kf.width, kf.height, cache,
+                )
         return loss  # device scalar; callers float() it only when reporting
 
     def frame_batch_optimization(self, frame) -> float:
-        """Sliding-window optimization (reference `mapper.py:336-378`)."""
+        """Sliding-window optimization (reference `mapper.py:336-378`):
+        local_map_iter steps on each window member (init frame gets
+        local_map_iter_init)."""
         window = list(self.keyframe_manager.sliding_window)
         if not window:
             return float("nan")
-        iters = self.mcfg.local_map_iter * len(window) if self.time > 0 else self.mcfg.local_map_iter_init
-        return self._optimize(window, iters, self.sw_lrs)
+        per_kf = self.mcfg.local_map_iter if self.time > 0 else self.mcfg.local_map_iter_init
+        return self._optimize([(kf, per_kf) for kf in window], self.sw_lrs)
 
     def keyframe_optimization(self, keyframe_num: int = -1) -> float:
-        """Final/global keyframe optimization (reference `mapper.py:197-240`)."""
+        """Final/global keyframe optimization (reference `mapper.py:197-240`):
+        random-keyframe Adam steps, grouped into short runs so the render
+        cache amortizes without losing the stochastic visit order."""
         ids = self.keyframe_manager.ids()
         if not ids:
             return float("nan")
@@ -470,4 +495,7 @@ class Mapping:
         keyframe_num = min(keyframe_num, len(ids))
         kfs = [self.keyframe_manager.keyframes[i] for i in ids[:keyframe_num]]
         iters = self.mcfg.final_global_opt_iter * keyframe_num
-        return self._optimize(kfs, iters, self.global_lrs)
+        rng = np.random.default_rng(self.time)
+        run_len = min(4, iters)
+        runs = [(kfs[rng.integers(len(kfs))], run_len) for _ in range(iters // run_len)]
+        return self._optimize(runs, self.global_lrs)

@@ -38,9 +38,19 @@ class Renderer:
         """Render `params` from `frame`'s current pose estimate."""
         return self.render_at(params, frame.w2c_matrix(), frame.intr, frame.width, frame.height)
 
-    def render_at(self, params: dict, w2c, intr, width: int, height: int) -> dict:
+    def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None) -> dict:
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
-            return render_pallas(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
+            return render_pallas(params, w2c, intr, width, height,
+                                 sh_degree=self.active_sh_degree, binning=cache)
         return render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
+
+    def precompute_cache(self, params: dict, w2c, intr, width: int, height: int):
+        """Per-camera render cache (tile binning), reusable across a few
+        optimization steps on the same camera; None for backends without one."""
+        if self.backend == "pallas":
+            from eggfusion_tpu.ops.raster_pallas import compute_binning
+
+            return compute_binning(params, w2c, intr, width, height)
+        return None

@@ -103,6 +103,12 @@ def dense_track(
     return delta, converged, last_res, last_n
 
 
+@jax.jit
+def _motion_delta(prev_w2c, prev_prev_w2c):
+    """Constant-velocity seed delta (one program instead of eager ops)."""
+    return prev_w2c @ lie.invert_se3(prev_prev_w2c)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def dense_track_pose(
     pyr_model: Pyramid,
@@ -169,7 +175,7 @@ class Tracker:
         if self.use_motion_model and self._prev_prev_w2c is not None:
             # delta that maps prev pose to an extrapolated pose:
             # T_pred = (T_{k-1} T_{k-2}^{-1}) T_{k-1}; delta = T_pred T_{k-1}^{-1}
-            return self._prev_w2c @ lie.invert_se3(self._prev_prev_w2c)
+            return _motion_delta(self._prev_w2c, self._prev_prev_w2c)
         return jnp.eye(4, dtype=jnp.float32)
 
     def tracking(self, frame, model_map) -> None:
@@ -190,7 +196,7 @@ class Tracker:
             pyr_model, frame.pyramid, seed_delta, prev_transform, self.config
         )
         frame.tracking_converged = converged  # device scalar; sync-free
-        frame.update_transform(curr[:3, :3], curr[:3, 3])
+        frame.update_transform_matrix(curr)
         self._push_pose(curr)
 
     def _push_pose(self, w2c):

@@ -41,6 +41,7 @@ Deviations from the CUDA rasterizer (documented, not accidental):
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -510,9 +511,40 @@ _expand_entries.defvjp(_expand_fwd, _expand_bwd)
 # --------------------------------------------------------------------------
 
 
+class Binning(NamedTuple):
+    """Per-camera tile-binning artifact (non-differentiable).
+
+    Computable once and reused across several optimization steps on the same
+    camera: positions move by ~lr per Adam step (1e-5 m), orders of magnitude
+    below a tile, while the two N*K-key sorts that build this are ~22 ms per
+    render at 600k capacity."""
+
+    entry_sid: jnp.ndarray  # (T, CAP) i32
+    counts: jnp.ndarray  # (T, 1) i32
+    back_map: jnp.ndarray  # (N, K) i32
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cap"))
+def compute_binning(params: dict, w2c, intr, width: int, height: int, cap: int = 512) -> Binning:
+    """Standalone tile binning for `render_pallas(..., binning=...)`."""
+    hp = _cdiv(height, TILE_H) * TILE_H
+    wp = _cdiv(width, TILE_W) * TILE_W
+    tx_tiles = wp // TILE_W
+    ty_tiles = hp // TILE_H
+    proj = rc.project_surfels(
+        jax.lax.stop_gradient(params), w2c, intr, width, height, sh_degree=0
+    )
+    entry_sid, counts, back_map = _bin_entries(
+        proj.depth, proj.mean2d, proj.radius, proj.valid,
+        tx_tiles * ty_tiles, tx_tiles, ty_tiles, cap,
+    )
+    return Binning(entry_sid, counts, back_map)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret"))
 def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
-                       sh_degree: int, cap: int, interpret: bool) -> dict:
+                       sh_degree: int, cap: int, interpret: bool,
+                       binning: Binning | None = None) -> dict:
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
     tx_tiles = wp // TILE_W
@@ -521,13 +553,16 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
 
     proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree)
 
-    entry_sid, counts, back_map = _bin_entries(
-        jax.lax.stop_gradient(proj.depth),
-        jax.lax.stop_gradient(proj.mean2d),
-        jax.lax.stop_gradient(proj.radius),
-        proj.valid,
-        n_tiles, tx_tiles, ty_tiles, cap,
-    )
+    if binning is not None:
+        entry_sid, counts, back_map = binning
+    else:
+        entry_sid, counts, back_map = _bin_entries(
+            jax.lax.stop_gradient(proj.depth),
+            jax.lax.stop_gradient(proj.mean2d),
+            jax.lax.stop_gradient(proj.radius),
+            proj.valid,
+            n_tiles, tx_tiles, ty_tiles, cap,
+        )
 
     attrs = jnp.concatenate(
         [
@@ -570,11 +605,14 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
 
 
 def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
-                  sh_degree: int = 3, cap: int = 512, interpret: bool | None = None) -> dict:
+                  sh_degree: int = 3, cap: int = 512, interpret: bool | None = None,
+                  binning: Binning | None = None) -> dict:
     """Render surfels to (H, W, *) color/normal/depth/opacity maps.
 
     Drop-in for `raster_xla.render_xla`; same output dict and normalization.
+    Pass a `Binning` from `compute_binning` to reuse tile assignments across
+    several optimization steps on the same camera.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret)
+    return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret, binning)

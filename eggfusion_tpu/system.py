@@ -140,6 +140,29 @@ class EGGFusion:
         self.traj = {"ts": [], "ref": [], "est": []}
         self.metrics = []  # per-frame observability records
 
+        # render + postprocess fused into ONE program: skips a dispatch and
+        # the HBM round-trip of the four intermediate full-res render maps
+        from eggfusion_tpu.core import surfels as _sf
+
+        render_at = self.renderer.render_at
+        nt, dt_, ot = self.reco_normal_thres, self.reco_depth_thres, self.reco_opacity_thres
+        dmin, dmax, nlevel = self.depth_range_min, self.depth_range_max, self.nlevel
+
+        @functools.partial(jax.jit, static_argnames=("width", "height"))
+        def render_postprocess(s, frame_map: dict, w2c, intr, width: int, height: int):
+            out = render_at(_sf.render_params(s), w2c, intr, width, height)
+            rendered = {
+                "render_color": out["color"],
+                "render_depth": out["depth"],
+                "render_normal": out["normal"],
+                "render_opacity": out["opacity"],
+            }
+            return postprocess_model_map(
+                rendered, frame_map, intr, w2c, nt, dt_, ot, dmin, dmax, nlevel
+            )
+
+        self._render_postprocess = render_postprocess
+
     def warmup(self) -> None:
         """Pre-compile the dense-tracking program on dummy inputs.
 
@@ -197,11 +220,9 @@ class EGGFusion:
         )
 
     def postprocess(self, frame: Frame) -> None:
-        rendered = self.mapper.get_render_output(frame)
-        self.model_map = postprocess_model_map(
-            rendered, self.frame_map, frame.intr, frame.w2c_matrix(),
-            self.reco_normal_thres, self.reco_depth_thres, self.reco_opacity_thres,
-            self.depth_range_min, self.depth_range_max, self.nlevel,
+        self.model_map = self._render_postprocess(
+            self.mapper.surfels, self.frame_map, frame.w2c_matrix(), frame.intr,
+            frame.width, frame.height,
         )
 
     def append_trajectory(self, frame: Frame) -> None:

@@ -138,6 +138,35 @@ class TestOcclusion:
         np.testing.assert_allclose(float(out["depth"][cy, cx, 0]), 1.5, atol=0.05)
 
 
+class TestCachedBinning:
+    def test_precomputed_binning_matches(self, scene):
+        """A render with a precomputed Binning equals the self-binned render
+        (the cache is what window optimization reuses across Adam steps)."""
+        from eggfusion_tpu.ops.raster_pallas import compute_binning
+
+        _, params, _, out_p = scene
+        b = compute_binning(params, jnp.eye(4), INTR, W, H, cap=CAP)
+        out_c = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=CAP, binning=b)
+        for k in ("color", "normal", "depth", "opacity"):
+            np.testing.assert_allclose(np.asarray(out_c[k]), np.asarray(out_p[k]), atol=1e-6)
+
+    def test_grads_with_cached_binning(self, scene):
+        from eggfusion_tpu.ops.raster_pallas import compute_binning
+
+        _, params, _, _ = scene
+        b = compute_binning(params, jnp.eye(4), INTR, W, H, cap=CAP)
+
+        def loss(xyz, binning):
+            p = dict(params)
+            p["xyz"] = xyz
+            o = render_pallas(p, jnp.eye(4), INTR, W, H, sh_degree=0, cap=CAP, binning=binning)
+            return jnp.mean(jnp.abs(o["color"] - 0.3)) + jnp.mean(o["depth"])
+
+        g_cached = np.asarray(jax.grad(loss)(params["xyz"], b))
+        g_fresh = np.asarray(jax.grad(loss)(params["xyz"], None))
+        np.testing.assert_allclose(g_cached, g_fresh, atol=1e-6)
+
+
 class TestCapacityOverflow:
     def test_overflow_keeps_nearest(self):
         """With CAP smaller than the per-tile load, the nearest surfels are
