@@ -33,7 +33,7 @@ the classic splatting pipeline, re-shaped for TPU:
 
 Deviations from the CUDA rasterizer (documented, not accidental):
   * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped).
-  * a surfel's footprint is truncated to a KX*KY-tile window (256x128 px);
+  * a surfel's footprint is truncated to a KX*KY-tile window (256x96 px);
     splats larger than that are rare in fused SLAM maps (scale ~ 2px*d/f).
   * per-tile entry capacity CAP is static; overflow drops the FARTHEST
     surfels (entries are depth-sorted, and a tile that deep is saturated).
@@ -54,7 +54,8 @@ from eggfusion_tpu.ops import raster_common as rc
 TILE_H = 32
 TILE_W = 128
 KX = 2  # candidate tile window, x
-KY = 4  # candidate tile window, y
+KY = 3  # candidate tile window, y (96 px: covers any splat with sigma <= 16 px
+#         crossing two tile boundaries; binning cost scales with KX*KY)
 CHUNK = 8  # entries per VMEM row-block load (and backward checkpoint period)
 STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
 
