@@ -46,6 +46,13 @@ class TrackerConfig(NamedTuple):
     # behavior), 2 = quarter of the constraints (statistically equivalent
     # GN optimum, ~4x fewer resampling gathers — the TPU bottleneck)
     solver_stride: int = 1
+    # stop a level's GN iterations once one converges (residual & dx below
+    # the commit thresholds). The reference always runs all iterations
+    # (`tracker.py:156-165`). Default OFF: on the 12-frame synthetic the
+    # skipped post-convergence refinement compounds across levels (ATE
+    # 1.66cm -> 4.58cm). Opt in via `Tracking.early_exit` when frame rate
+    # matters more than trajectory accuracy (~2-3x fewer resampling passes).
+    early_exit: bool = False
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -77,9 +84,10 @@ def dense_track(
         level = cfg.pyramid_level - 1 - l
         model_lvl = pyr_model[level]
         frame_lvl = pyr_frame[level]
+        n_iters = cfg.pyramid_iters[l]
 
-        def body(_, carry, model_lvl=model_lvl, frame_lvl=frame_lvl):
-            T, conv, _, _ = carry
+        def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl):
+            i, T, conv, _, _, _ = carry
             A, b, n = gn.build_normal_equations(
                 model_lvl,
                 frame_lvl,
@@ -94,10 +102,18 @@ def dense_track(
             T_new = lie.update_transform(T, dx)
             residual_est = jnp.linalg.norm(b) / jnp.sqrt(jnp.maximum(1.0, n))
             conv_i = (residual_est < cfg.residual_thres) & (jnp.linalg.norm(dx) < cfg.dx_threshold)
-            return T_new, conv | conv_i, residual_est, n
+            return i + 1, T_new, conv | conv_i, conv_i, residual_est, n
 
-        delta, converged, last_res, last_n = jax.lax.fori_loop(
-            0, cfg.pyramid_iters[l], body, (delta, converged, last_res, last_n)
+        def cond(carry, n_iters=n_iters):
+            i, _, _, stop, _, _ = carry
+            keep = i < n_iters
+            if cfg.early_exit:
+                keep = keep & ~stop
+            return keep
+
+        _, delta, converged, _, last_res, last_n = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), delta, converged, jnp.asarray(False), last_res, last_n),
         )
 
     return delta, converged, last_res, last_n
@@ -152,6 +168,7 @@ class Tracker:
             use_rgb=bool(t.use_rgb),
             rgb_weight=float(t.rgb_weight),
             solver_stride=int(t.get("solver_stride", 2)),
+            early_exit=bool(t.get("early_exit", False)),
         )
         self.only_mapping = bool(cfg.System.only_mapping)
         self.use_sparse = bool(t.get("use_sparse", False))

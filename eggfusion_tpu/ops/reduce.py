@@ -16,8 +16,11 @@ Design, shaped by TPU cost structure rather than the CUDA original:
   * Image resampling is the real cost on TPU (gathers, not FLOPs), and the
     gather cost is flat in channel count — so ALL nearest-sampled maps
     (vertex, normal, mask) ride ONE gather and all bilinear-sampled maps
-    (intensity, gradient) ride another, instead of the reference's five
-    separate grid_sample calls per iteration.
+    (intensity, gradient) ride one gather per corner, instead of the
+    reference's five separate grid_sample calls per iteration. All gathers
+    use the `img[jc, ic]` (flattened row-index) form: on v5e that lowers to
+    the fast gather path (~15 ms at 225k samples), while a strip gather with
+    a 2-column index map lowers to a serialized path ~60x slower.
   * `stride` subsamples the constraint grid (model-side pixels): the GN
     optimum is statistically unchanged with a quarter of the constraints,
     and the gather cost drops with the index count. stride=1 reproduces the
@@ -29,70 +32,9 @@ import math
 from typing import Tuple
 
 import jax.numpy as jnp
-from jax import lax
 
 from eggfusion_tpu.ops import image as imops
 from eggfusion_tpu.ops.pyramid import PyramidLevel
-
-
-def _bilinear_rowpair(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sampling via two row-strip gathers instead of four corner
-    gathers. TPU gather cost is driven by the index-stream length, so fetching
-    the (x0, x0+1) pixel pair as ONE contiguous 2C-wide slice halves the
-    resampling cost of the photometric term (the tracker's dominant op).
-
-    Zero-padding semantics with one caveat: for x in [-1, 0) the x0+1 corner
-    reads pixel 1 instead of 0. All callers gate samples to |coord| < 0.90 of
-    the image (reference `optimizer.py:292`), so such samples carry weight 0.
-
-    img: (H, W, C); coords (..., 2) in [-1, 1] align_corners=True.
-    Returns (..., C).
-    """
-    H, W, C = img.shape
-    x = (coords[..., 0] + 1.0) * 0.5 * (W - 1)
-    y = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    dx = (x - x0)[..., None]
-    dy = (y - y0)[..., None]
-
-    xi = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
-    yi0 = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
-    yi1 = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32)
-
-    # (H, (W+1)*C): one zero column so the strip at x0 = W-1 reads zeros
-    pad = jnp.pad(img, ((0, 0), (0, 1), (0, 0))).reshape(H, (W + 1) * C)
-    dnums = lax.GatherDimensionNumbers(
-        offset_dims=(coords.ndim - 1,),
-        collapsed_slice_dims=(0,),
-        start_index_map=(0, 1),
-    )
-
-    def strip(yi):
-        idx = jnp.stack([yi, xi * C], axis=-1)
-        return lax.gather(
-            pad, idx, dnums, slice_sizes=(1, 2 * C),
-            mode=lax.GatherScatterMode.CLIP,
-        )  # (..., 2C)
-
-    top = strip(yi0)
-    bot = strip(yi1)
-
-    inb_x0 = ((x0 >= 0) & (x0 <= W - 1))[..., None].astype(img.dtype)
-    inb_x1 = ((x0 + 1 >= 0) & (x0 + 1 <= W - 1))[..., None].astype(img.dtype)
-    inb_y0 = ((y0 >= 0) & (y0 <= H - 1))[..., None].astype(img.dtype)
-    inb_y1 = ((y0 + 1 >= 0) & (y0 + 1 <= H - 1))[..., None].astype(img.dtype)
-
-    v00 = top[..., :C] * (inb_x0 * inb_y0)
-    v10 = top[..., C:] * (inb_x1 * inb_y0)
-    v01 = bot[..., :C] * (inb_x0 * inb_y1)
-    v11 = bot[..., C:] * (inb_x1 * inb_y1)
-    return (
-        v00 * ((1 - dx) * (1 - dy))
-        + v10 * (dx * (1 - dy))
-        + v01 * ((1 - dx) * dy)
-        + v11 * (dx * dy)
-    )
 
 
 def projective_warp(transform: jnp.ndarray, disp: jnp.ndarray, intr: jnp.ndarray,
@@ -226,7 +168,11 @@ def build_normal_equations(
     # ---- photometric --------------------------------------------------------
     if use_rgb:
         bil_pack = jnp.concatenate([frame.intensity, frame.grad[..., :2]], axis=-1)
-        bs = _bilinear_rowpair(bil_pack, coords)
+        # 4-corner gathers lower to XLA's fast row-gather path on TPU; a
+        # 2-column-index strip gather (one (1, 2C) slice per sample) lowers to
+        # a serialized path that is ~60x slower on v5e (874 ms vs 15 ms at
+        # 225k samples) — measured, not guessed. Keep corner gathers.
+        bs = imops.bilinear_sample(bil_pack, coords, padding="zeros")
         sample_I = bs[..., 0]
         Ji = bs[..., 1:3]
 
