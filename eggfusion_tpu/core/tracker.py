@@ -46,13 +46,16 @@ class TrackerConfig(NamedTuple):
     # behavior), 2 = quarter of the constraints (statistically equivalent
     # GN optimum, ~4x fewer resampling gathers — the TPU bottleneck)
     solver_stride: int = 1
-    # stop a level's GN iterations once one converges (residual & dx below
-    # the commit thresholds). The reference always runs all iterations
-    # (`tracker.py:156-165`). Default OFF: on the 12-frame synthetic the
-    # skipped post-convergence refinement compounds across levels (ATE
-    # 1.66cm -> 4.58cm). Opt in via `Tracking.early_exit` when frame rate
-    # matters more than trajectory accuracy (~2-3x fewer resampling passes).
+    # stop a level's GN iterations once the pose is numerically settled:
+    # converged in the commit sense AND the last step moved the pose by less
+    # than early_exit_factor * dx_threshold. The reference always runs all
+    # iterations (`tracker.py:156-165`). Default OFF: even a strict factor
+    # costs trajectory accuracy on the 12-frame synthetic (factor 1.0: ATE
+    # 1.66cm -> 4.58cm; factor 0.05: -> 2.89cm) because small per-frame pose
+    # shortcuts compound through the fused map. Opt in via
+    # `Tracking.early_exit` when frame rate matters more than ATE.
     early_exit: bool = False
+    early_exit_factor: float = 0.05
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -101,8 +104,10 @@ def dense_track(
             dx = gn.solve_gn(A, b, cfg.lm_damping)
             T_new = lie.update_transform(T, dx)
             residual_est = jnp.linalg.norm(b) / jnp.sqrt(jnp.maximum(1.0, n))
-            conv_i = (residual_est < cfg.residual_thres) & (jnp.linalg.norm(dx) < cfg.dx_threshold)
-            return i + 1, T_new, conv | conv_i, conv_i, residual_est, n
+            dx_norm = jnp.linalg.norm(dx)
+            conv_i = (residual_est < cfg.residual_thres) & (dx_norm < cfg.dx_threshold)
+            settled = conv_i & (dx_norm < cfg.early_exit_factor * cfg.dx_threshold)
+            return i + 1, T_new, conv | conv_i, settled, residual_est, n
 
         def cond(carry, n_iters=n_iters):
             i, _, _, stop, _, _ = carry
@@ -169,6 +174,7 @@ class Tracker:
             rgb_weight=float(t.rgb_weight),
             solver_stride=int(t.get("solver_stride", 2)),
             early_exit=bool(t.get("early_exit", False)),
+            early_exit_factor=float(t.get("early_exit_factor", 0.05)),
         )
         self.only_mapping = bool(cfg.System.only_mapping)
         self.use_sparse = bool(t.get("use_sparse", False))

@@ -33,8 +33,9 @@ the classic splatting pipeline, re-shaped for TPU:
 
 Deviations from the CUDA rasterizer (documented, not accidental):
   * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped).
-  * a surfel's footprint is truncated to a KX*KY-tile window (256x96 px);
-    splats larger than that are rare in fused SLAM maps (scale ~ 2px*d/f).
+  * a surfel's footprint is truncated to a KX*KY-tile window (256x64 px,
+    binning radius clamped to 15.5 px vertically); splats larger than that
+    are rare in fused SLAM maps (scale ~ 2px*d/f).
   * per-tile entry capacity CAP is static; overflow drops the FARTHEST
     surfels (entries are depth-sorted, and a tile that deep is saturated).
 """
@@ -53,9 +54,14 @@ from eggfusion_tpu.ops import raster_common as rc
 
 TILE_H = 32
 TILE_W = 128
-KX = 2  # candidate tile window, x
-KY = 3  # candidate tile window, y (96 px: covers any splat with sigma <= 16 px
-#         crossing two tile boundaries; binning cost scales with KX*KY)
+KX = 2  # candidate tile window, x (256 px: covers radius <= 63 px)
+KY = 2  # candidate tile window, y (64 px: covers radius <= 15.5 px — the
+#         binning radius is clamped to that; see _bin_entries. Binning sort
+#         cost AND the backward's back_map gather scale with KX*KY, so the
+#         window is the single biggest rasterizer cost knob.)
+BIN_RADIUS_MAX_Y = 15.5  # binning-extent clamp (px); alpha is NOT clamped —
+#         a taller splat just truncates to the 2-tile-row window, the same
+#         policy the fixed window already applies to very wide splats
 CHUNK = 8  # entries per VMEM row-block load (and backward checkpoint period)
 STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
 
@@ -418,10 +424,11 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap)
     u = mean2d[:, 0]
     v = mean2d[:, 1]
     r = radius
+    ry = jnp.minimum(r, BIN_RADIUS_MAX_Y)  # keep the y-span within KY rows
     tx0 = jnp.clip(jnp.floor((u - r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
-    ty0 = jnp.clip(jnp.floor((v - r) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
+    ty0 = jnp.clip(jnp.floor((v - ry) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
     tx1 = jnp.clip(jnp.floor((u + r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
-    ty1 = jnp.clip(jnp.floor((v + r) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
+    ty1 = jnp.clip(jnp.floor((v + ry) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
     # truncate footprint to the fixed window
     tx1 = jnp.minimum(tx1, tx0 + KX - 1)
     ty1 = jnp.minimum(ty1, ty0 + KY - 1)

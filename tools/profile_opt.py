@@ -61,15 +61,19 @@ def main():
         p, w, intr, width, height, 0, 512, False, b))
     timeit("render fwd (cached binning)", render_b, params, w2c, binning)
 
-    # gradient step cost: loss = sum of all outputs
-    def loss_fn(p, w, b):
-        out = rp._render_pallas_jit(p, w, intr, width, height, 0, 512, False, b)
-        return sum(jnp.sum(v) for v in out.values())
-    g_b = jax.jit(jax.grad(loss_fn), static_argnames=())
-    timeit("render fwd+bwd (cached binning)", lambda p, w: g_b(p, w, binning), params, w2c, n=3)
+    # gradient step cost: loss = sum of all outputs; grad only float leaves
+    fparams = {k: v for k, v in params.items()
+               if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)}
+    aux = {k: v for k, v in params.items() if k not in fparams}
 
-    g_nb = jax.jit(lambda p, w: jax.grad(loss_fn)(p, w, None))
-    timeit("render fwd+bwd (no cache)", g_nb, params, w2c, n=3)
+    def loss_fn(fp, w, b):
+        out = rp._render_pallas_jit({**aux, **fp}, w, intr, width, height, 0, 512, False, b)
+        return sum(jnp.sum(v) for v in out.values())
+    g_b = jax.jit(lambda fp, w: jax.grad(loss_fn)(fp, w, binning))
+    timeit("render fwd+bwd (cached binning)", g_b, fparams, w2c, n=3)
+
+    g_nb = jax.jit(lambda fp, w: jax.grad(loss_fn)(fp, w, None))
+    timeit("render fwd+bwd (no cache)", g_nb, fparams, w2c, n=3)
 
 
 if __name__ == "__main__":
