@@ -88,8 +88,10 @@ def dense_track(
         model_lvl = pyr_model[level]
         frame_lvl = pyr_frame[level]
         n_iters = cfg.pyramid_iters[l]
+        # paired resampling pack, built once per level (loop-invariant)
+        pack = gn.sampling_pack(frame_lvl)
 
-        def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl):
+        def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl, pack=pack):
             i, T, conv, _, _, _ = carry
             A, b, n = gn.build_normal_equations(
                 model_lvl,
@@ -100,6 +102,7 @@ def dense_track(
                 cfg.use_rgb,
                 cfg.rgb_weight,
                 stride=cfg.solver_stride,
+                pack=pack,
             )
             dx = gn.solve_gn(A, b, cfg.lm_damping)
             T_new = lie.update_transform(T, dx)

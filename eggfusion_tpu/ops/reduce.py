@@ -33,8 +33,78 @@ from typing import Tuple
 
 import jax.numpy as jnp
 
-from eggfusion_tpu.ops import image as imops
 from eggfusion_tpu.ops.pyramid import PyramidLevel
+
+
+def sampling_pack(frame: PyramidLevel) -> jnp.ndarray:
+    """Paired resampling pack of one pyramid level: (H, W, 20).
+
+    Channels 0..9 are [intensity, gx, gy, vertex(3), normal(3), mask] at
+    pixel x; channels 10..19 are the same at pixel x+1 (zero past the last
+    column). Gather cost on v5e is ~5 ms per CALL at 225k indices and nearly
+    flat in channel count, so pairing each pixel with its x-neighbor lets
+    ONE row gather return two bilinear corners: all of an iteration's
+    resampling (4 bilinear corners + nearest) collapses from 5 gathers to 2.
+
+    Built once per tracked frame (loop-invariant across GN iterations).
+    """
+    mask = frame.mask
+    if mask.ndim == 2:
+        mask = mask[..., None]
+    P = jnp.concatenate(
+        [frame.intensity, frame.grad[..., :2], frame.vertex, frame.normal,
+         mask.astype(frame.intensity.dtype)], axis=-1)  # (H, W, 10)
+    P_x1 = jnp.concatenate([P[:, 1:], jnp.zeros_like(P[:, :1])], axis=1)
+    return jnp.concatenate([P, P_x1], axis=-1)
+
+
+def _sample_packed(pack: jnp.ndarray, coords: jnp.ndarray):
+    """Resample everything the GN build needs with TWO row gathers.
+
+    Returns (bilinear [intensity, gx, gy] with grid_sample-zeros semantics,
+    nearest [vertex(3), normal(3)] and mask>0.8, all shaped (..., C)).
+
+    Nearest selection uses exact rint (round-half-even) corner choice, so it
+    matches `nearest_sample` bit-for-bit on all in-bounds samples;
+    border-vs-zero padding differences only affect samples the callers
+    already gate out (ICP/RGB bounds gates at 0.98/0.90).
+    """
+    H, W, _ = pack.shape
+    x = (coords[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+
+    x0c = jnp.clip(x0, 0, W - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, H - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0 + 1, 0, H - 1).astype(jnp.int32)
+
+    s0 = pack[y0c, x0c]  # (..., 20): corners (x0, y0) and (x0+1, y0)
+    s1 = pack[y1c, x0c]  # (..., 20): corners (x0, y0+1) and (x0+1, y0+1)
+
+    dt = pack.dtype
+    inx0 = ((x0 >= 0) & (x0 <= W - 1)).astype(dt)
+    inx1 = (x0 + 1 <= W - 1).astype(dt)  # x0+1 >= 0 implied by clip+gates
+    iny0 = ((y0 >= 0) & (y0 <= H - 1)).astype(dt)
+    iny1 = ((y0 + 1 >= 0) & (y0 + 1 <= H - 1)).astype(dt)
+
+    w00 = ((1 - fx) * (1 - fy) * inx0 * iny0)[..., None]
+    w10 = (fx * (1 - fy) * inx1 * iny0)[..., None]
+    w01 = ((1 - fx) * fy * inx0 * iny1)[..., None]
+    w11 = (fx * fy * inx1 * iny1)[..., None]
+    bil = (s0[..., 0:3] * w00 + s0[..., 10:13] * w10
+           + s1[..., 0:3] * w01 + s1[..., 10:13] * w11)
+
+    selx = jnp.rint(x) > x0  # exact round-half-even corner choice
+    sely = jnp.rint(y) > y0
+    srow = jnp.where(sely[..., None], s1, s0)
+    near = jnp.where(selx[..., None], srow[..., 10:], srow[..., :10])
+    vcurr = near[..., 3:6]
+    ncurr = near[..., 6:9]
+    mask_warp = near[..., 9] > 0.8
+    return bil, vcurr, ncurr, mask_warp
 
 
 def projective_warp(transform: jnp.ndarray, disp: jnp.ndarray, intr: jnp.ndarray,
@@ -108,6 +178,7 @@ def build_normal_equations(
     use_rgb: bool,
     rgb_weight: float,
     stride: int = 1,
+    pack: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One GN build at one pyramid level: A (6, 6), b (6,), valid count.
 
@@ -132,15 +203,14 @@ def build_normal_equations(
     coords, Jc = projective_warp(transform, m_disp, model.intr, stride)
     c = coords.reshape(-1, 2)
 
-    # ---- packed resampling of the full-res frame (one gather per mode) -----
-    near_pack = jnp.concatenate(
-        [frame.vertex, frame.normal, frame.mask.astype(coords.dtype)[..., None]
-         if frame.mask.ndim == 2 else frame.mask.astype(coords.dtype)], axis=-1
-    )
-    ns = imops.nearest_sample(near_pack, coords, padding="border")
-    vcurr = ns[..., 0:3].reshape(-1, 3)
-    ncurr = ns[..., 3:6].reshape(-1, 3)
-    mask_warp = ns[..., 6].reshape(-1) > 0.8
+    # ---- packed resampling: TWO row gathers for everything -----------------
+    # (gather cost is per call, ~flat in channels — see `sampling_pack`)
+    if pack is None:
+        pack = sampling_pack(frame)
+    bil, vcurr3, ncurr3, mwarp = _sample_packed(pack, coords)
+    vcurr = vcurr3.reshape(-1, 3)
+    ncurr = ncurr3.reshape(-1, 3)
+    mask_warp = mwarp.reshape(-1)
 
     # ---- point-to-plane ICP -------------------------------------------------
     vprev = (m_vert.reshape(-1, 3) @ transform[:3, :3].T) + transform[:3, 3]
@@ -167,14 +237,8 @@ def build_normal_equations(
 
     # ---- photometric --------------------------------------------------------
     if use_rgb:
-        bil_pack = jnp.concatenate([frame.intensity, frame.grad[..., :2]], axis=-1)
-        # 4-corner gathers lower to XLA's fast row-gather path on TPU; a
-        # 2-column-index strip gather (one (1, 2C) slice per sample) lowers to
-        # a serialized path that is ~60x slower on v5e (874 ms vs 15 ms at
-        # 225k samples) — measured, not guessed. Keep corner gathers.
-        bs = imops.bilinear_sample(bil_pack, coords, padding="zeros")
-        sample_I = bs[..., 0]
-        Ji = bs[..., 1:3]
+        sample_I = bil[..., 0]
+        Ji = bil[..., 1:3]
 
         bound = 0.90
         inb_rgb = (c[:, 0] > -bound) & (c[:, 0] < bound) & (c[:, 1] > -bound) & (c[:, 1] < bound)
