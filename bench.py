@@ -34,6 +34,9 @@ def main() -> None:
     max_surfels = int(os.environ.get("BENCH_SURFELS", 600_000))
 
     from eggfusion_tpu import config as cfglib
+    from eggfusion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from eggfusion_tpu.main import build_frame
     from eggfusion_tpu.data.datasets import load_dataset
     from eggfusion_tpu.system import EGGFusion
@@ -53,7 +56,10 @@ def main() -> None:
         },
         Viewer={"max_surfels_num": max_surfels},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
-        System={"save_dir": "results/bench", "final_global_opt": False},
+        # fixed capacity: measure steady-state max-capacity throughput and
+        # keep bucket-growth recompiles out of the timed loop
+        System={"save_dir": "results/bench", "final_global_opt": False,
+                "capacity_bucketing": False},
     )
 
     dataset = load_dataset(cfg)

@@ -278,7 +278,18 @@ class Mapping:
 
         self.renderer = renderer
         self.keyframe_manager = KeyFrameManager(cfg)
-        self.surfels = sf.SurfelMap.empty(self.scfg)
+        # capacity bucketing: start in a small bucket and grow geometrically
+        # (see `sf.grow_surfels`). Per-frame program cost then tracks the
+        # actual map size instead of the configured maximum.
+        self.max_capacity = self.scfg.capacity
+        self.bucketing = bool(cfg.System.get("capacity_bucketing", True))
+        init_cap = (
+            self._bucket(self.mcfg.spawn_cap_init + self.mcfg.spawn_cap)
+            if self.bucketing else self.max_capacity
+        )
+        self.surfels = sf.SurfelMap.empty(self.scfg._replace(capacity=init_cap))
+        self._known_count = 0  # count after the last map update (host mirror)
+        self._count_ref = None  # device scalar being copied back asynchronously
         self.time = 0
         self.model_map: dict | None = None
         self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
@@ -413,14 +424,45 @@ class Mapping:
 
     # ----------------------------------------------------------------- host --
 
+    def _bucket(self, needed: int) -> int:
+        """Smallest power-of-two bucket >= needed (floor 2^15), capped."""
+        cap = 1 << max(15, int(needed - 1).bit_length())
+        return min(cap, self.max_capacity)
+
+    def _ensure_capacity(self, first: bool) -> None:
+        """Grow the surfel SoA if this frame's spawn could overflow it.
+
+        `_known_count` is the exact count after the previous frame's map
+        update (read from an async device->host copy started last frame, so
+        the read does not stall the pipeline), and a frame appends at most
+        `spawn_cap` surfels — the bound is tight, never stale."""
+        if self._count_ref is not None:
+            self._known_count = int(np.asarray(self._count_ref))
+            self._count_ref = None
+        cap_needed = self._known_count + (
+            self.mcfg.spawn_cap_init if first else self.mcfg.spawn_cap
+        )
+        if cap_needed > self.surfels.capacity:
+            self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
+
     def mapping(self, frame, frame_map: dict) -> None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
         `mapper.py:180-195`)."""
         first = self.time == 0
+        if self.bucketing:
+            self._ensure_capacity(first)
         self.surfels, _ = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
         )
+        if self.bucketing:
+            # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
+            # would delete the very buffer the async copy reads from
+            self._count_ref = self.surfels.count + 0
+            try:
+                self._count_ref.copy_to_host_async()
+            except Exception:
+                pass
 
         if self.time % self.mcfg.sw_add_freq == 0:
             self.keyframe_manager.sliding_window.append(

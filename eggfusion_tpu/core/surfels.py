@@ -22,6 +22,7 @@ normal (`:188-189`), so the normal is the min-scale axis column of R
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -234,6 +235,48 @@ def append_surfels(s: SurfelMap, batch: SpawnBatch, time: jnp.ndarray, init_opac
         count=jnp.minimum(s.count + n_valid, C),
     )
     return s
+
+
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
+def grow_surfels(s: SurfelMap, new_capacity: int) -> SurfelMap:
+    """Pad every SoA array to a larger capacity bucket.
+
+    Capacity bucketing: per-frame programs cost O(capacity) on TPU (binning
+    sorts, fusion gathers, render expansion all run over the full static
+    shape), so the map starts in a small bucket and grows geometrically as
+    surfels accumulate — the same cost-follows-map-size behavior the
+    reference gets for free from `torch.cat` growth (`gaussian_surfels.py:
+    152-167`), recovered under XLA's static shapes at a bounded number of
+    recompiles (one set per bucket, persistent-cached across runs).
+    """
+    C = s.capacity
+    if new_capacity <= C:
+        return s
+    pad = new_capacity - C
+
+    def ext(x, fill=0):
+        if x.ndim == 0:
+            return x
+        p = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, p], axis=0)
+
+    return s.replace(
+        xyz=ext(s.xyz),
+        features_dc=ext(s.features_dc),
+        features_rest=ext(s.features_rest),
+        scaling=ext(s.scaling, FLAT_LOG_SCALE),
+        rotation=ext(s.rotation).at[C:, 0].set(1.0),
+        opacity=ext(s.opacity),
+        eta=ext(s.eta),
+        sigma2=ext(s.sigma2, 1),
+        observe_count=ext(s.observe_count),
+        tic=ext(s.tic),
+        error_count=ext(s.error_count),
+        inview=ext(s.inview, False),
+        surface=ext(s.surface, False),
+        stable=ext(s.stable, False),
+        active=ext(s.active, False),
+    )
 
 
 def prune_surfels(s: SurfelMap, delete_mask: jnp.ndarray) -> SurfelMap:

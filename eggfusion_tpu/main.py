@@ -33,18 +33,23 @@ def build_frame(dataset, fid: int, preload: bool):
     )
 
 
-def run(cfg, max_frames: int | None = None, verbose: bool = False):
+def run(cfg, max_frames: int | None = None, verbose: bool = False, resume: str | None = None):
     from eggfusion_tpu.data.datasets import load_dataset
     from eggfusion_tpu.system import EGGFusion
 
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
     ef.warmup()
+    start = 0
+    if resume:
+        ef.resume(resume)
+        start = ef.mapper.time
 
     n = len(dataset) if max_frames is None else min(len(dataset), max_frames)
-    preload = bool(cfg.Dataset.get("preload", True))
+    # the prefetch stream starts at frame 0; resumed runs index directly
+    preload = bool(cfg.Dataset.get("preload", True)) and start == 0
     t_start = time.perf_counter()
-    for fid in range(n):
+    for fid in range(start, n):
         frame = build_frame(dataset, fid, preload)
         ef.reconstruct(frame)
         if verbose or fid % 25 == 0:
@@ -54,7 +59,8 @@ def run(cfg, max_frames: int | None = None, verbose: bool = False):
                 f"post {m['post_ms']:.1f}ms  surfels {int(m['surfels'])}"
             )
     wall = time.perf_counter() - t_start
-    print(f"Processed {n} frames in {wall:.2f}s ({n / wall:.2f} FPS)")
+    done = n - start
+    print(f"Processed {done} frames in {wall:.2f}s ({done / max(wall, 1e-9):.2f} FPS)")
 
     ef.finish()
     if cfg.System.eval_tracking:
@@ -69,10 +75,14 @@ def main(argv=None):
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--synthetic", action="store_true", help="run the built-in synthetic sequence")
     parser.add_argument("--frames", type=int, default=None, help="limit number of frames")
+    parser.add_argument("--resume", type=str, default=None, help="resume from a checkpoint.npz")
     parser.add_argument("--verbose", action="store_true")
     args = parser.parse_args(argv)
 
     from eggfusion_tpu import config as cfglib
+    from eggfusion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     if args.config:
         cfg = cfglib.load_config(args.config)
@@ -82,7 +92,7 @@ def main(argv=None):
     else:
         parser.error("either --config or --synthetic is required")
 
-    run(cfg, max_frames=args.frames, verbose=args.verbose)
+    run(cfg, max_frames=args.frames, verbose=args.verbose, resume=args.resume)
 
 
 if __name__ == "__main__":

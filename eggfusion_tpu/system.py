@@ -255,6 +255,7 @@ class EGGFusion:
                 "traj_ref": self._traj_np("ref"),
                 "traj_est": self._traj_np("est"),
                 "ts": np.asarray(self.traj["ts"]),
+                "time": np.int64(self.mapper.time),
             },
         )
 
@@ -272,13 +273,51 @@ class EGGFusion:
         )
         print(f"Saved surfels to {path}")
 
+    def resume(self, path: str) -> None:
+        """Resume mid-run from a full-state checkpoint (counterpart of
+        `finish()`'s checkpoint.npz). Unlike `reload` (PLY, 3DGS fields only,
+        reference `system.py:140`), this restores the COMPLETE surfel SoA —
+        fusion state eta/sigma2/counters included — plus the trajectory and
+        frame clock, so mapping continues exactly where the run stopped."""
+        s, extra = ckpt.load_checkpoint(path)
+        self.mapper.surfels = s
+        self.mapper._known_count = int(np.asarray(s.count))
+        self.mapper._count_ref = None
+        if "time" in extra:
+            self.mapper.time = int(extra["time"])
+        if "ts" in extra:
+            self.traj = {
+                "ts": list(np.asarray(extra["ts"])),
+                "ref": [jnp.asarray(m) for m in extra.get("traj_ref", [])],
+                "est": [jnp.asarray(m) for m in extra.get("traj_est", [])],
+            }
+        # rebuild the tracking model_map (render at the last estimated pose)
+        # and the tracker's pose history, so the next frame tracks seamlessly
+        if self.traj["est"]:
+            last_c2w = np.asarray(self.traj["est"][-1])
+            w2c = jnp.asarray(np.linalg.inv(last_c2w), jnp.float32)
+            intr = _cal_intrinsics(self.cfg)
+            ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
+            out = self.mapper._render_model(self.mapper.surfels, w2c, ia, intr.width, intr.height)
+            opa = out["opacity"] > self.reco_opacity_thres
+            pyramid = build_pyramid(
+                out["color"], out["depth"], opa.astype(jnp.float32), ia, nlevel=self.nlevel
+            )
+            self.model_map = {"transform": w2c, "pyramid": pyramid}
+            self.tracker._push_pose(w2c)
+            self.tracker.initialized = True
+        print(f"Resumed {int(np.asarray(s.count))} surfels @ frame {self.mapper.time} from {path}")
+
     def reload(self, path: str) -> None:
         """Load a PLY map back (reference `EGGFusion.reload`, `system.py:140`)."""
         data = plyio.load_ply(path)
         s = self.mapper.surfels
         n = len(data["xyz"])
-        cap = s.capacity
-        n = min(n, cap)
+        if n > s.capacity:  # grow to fit (bounded by the configured maximum)
+            from eggfusion_tpu.core import surfels as sflib
+
+            s = sflib.grow_surfels(s, self.mapper._bucket(n))
+        n = min(n, s.capacity)
 
         def put(dst, src):
             return dst.at[:n].set(jnp.asarray(src[:n], jnp.float32))
@@ -293,6 +332,8 @@ class EGGFusion:
             active=s.active.at[:n].set(True),
             count=jnp.int32(n),
         )
+        self.mapper._known_count = n
+        self.mapper._count_ref = None
         print(f"Reloaded {n} surfels from {path}")
 
     # ---- evaluation ---------------------------------------------------------

@@ -121,3 +121,46 @@ class TestJit:
         s = s.replace(sigma2=s.sigma2.at[0].set(jnp.asarray([0.01, 0.01])))
         s = sf.update_stability(s, threshold=10.0)
         assert bool(s.stable[0])
+
+
+class TestGrow:
+    def test_grow_preserves_content_and_extends(self):
+        s = sf.SurfelMap.empty(_cfg(cap=64))
+        s = sf.append_surfels(s, _batch(10), jnp.int32(0), 0.99)
+        xyz_before = np.asarray(s.xyz[:10])
+        g = sf.grow_surfels(s, 128)
+        assert g.capacity == 128
+        assert int(g.count) == 10
+        assert int(g.num_active()) == 10
+        np.testing.assert_array_equal(np.asarray(g.xyz[:10]), xyz_before)
+        # padding slots are inert: inactive, identity-ish defaults
+        assert not bool(np.asarray(g.active[64:]).any())
+        np.testing.assert_array_equal(np.asarray(g.rotation[64:, 0]), 1.0)
+        np.testing.assert_array_equal(np.asarray(g.sigma2[64:]), 1.0)
+        # appending continues at the watermark in the grown map
+        g = sf.append_surfels(g, _batch(100, seed=1), jnp.int32(1), 0.99)
+        assert int(g.count) == 110
+
+    def test_grow_noop_when_not_larger(self):
+        s = sf.SurfelMap.empty(_cfg(cap=64))
+        g = sf.grow_surfels(s, 64)
+        assert g.capacity == 64
+
+    def test_grown_map_renders_like_padded_map(self):
+        """Render output must not depend on which capacity bucket holds the
+        same active surfels (inactive padding is inert)."""
+        from eggfusion_tpu.ops.raster_xla import render_xla
+
+        cfgA = _cfg(cap=32)
+        s = sf.SurfelMap.empty(cfgA)
+        b = _batch(12, seed=3)
+        # place surfels in front of the camera
+        b = b._replace(xyz=b.xyz + jnp.asarray([0.0, 0.0, 3.0]))
+        s = sf.append_surfels(s, b, jnp.int32(0), 0.99)
+        g = sf.grow_surfels(s, 256)
+        intr = jnp.asarray([60.0, 60.0, 31.5, 23.5], jnp.float32)
+        w2c = jnp.eye(4)
+        outA = render_xla(sf.render_params(s), w2c, intr, 64, 48, sh_degree=3)
+        outB = render_xla(sf.render_params(g), w2c, intr, 64, 48, sh_degree=3)
+        for k in ("color", "normal", "depth", "opacity"):
+            np.testing.assert_allclose(np.asarray(outA[k]), np.asarray(outB[k]), atol=1e-6)

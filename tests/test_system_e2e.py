@@ -94,6 +94,32 @@ class TestEndToEnd:
         assert int(s2.num_active()) == int(ef.mapper.surfels.num_active())
         assert extra["traj_est"].shape[0] == len(ef.traj["est"])
 
+    def test_system_resume_continues_run(self, pipeline_run, tmp_path):
+        """A resumed system picks up the full SoA, clock, trajectory, and a
+        rebuilt model_map, and can keep reconstructing new frames."""
+        import os
+
+        from eggfusion_tpu.data.datasets import load_dataset
+        from eggfusion_tpu.system import EGGFusion
+
+        ef, cfg = pipeline_run
+        cfg2 = cfglib.Config.wrap(cfg.to_plain())
+        cfg2.System.save_dir = str(tmp_path / "resumed")
+        cfg2.Dataset.n_frames = 10
+        ef2 = EGGFusion(cfg2)
+        ef2.resume(os.path.join(ef.save_dir, "checkpoint.npz"))
+        assert ef2.mapper.time == ef.mapper.time
+        assert int(ef2.mapper.surfels.num_active()) == int(ef.mapper.surfels.num_active())
+        assert ef2.model_map is not None and "pyramid" in ef2.model_map
+
+        dataset = load_dataset(cfg2)
+        for fid in (8, 9):
+            ef2.reconstruct(build_frame(dataset, fid, False))
+        assert len(ef2.traj["est"]) == 10
+        ref = np.asarray([np.asarray(m) for m in ef2.traj["ref"]])[:, :3, 3]
+        est = np.asarray([np.asarray(m) for m in ef2.traj["est"]])[:, :3, 3]
+        assert evalu.ate_rmse(ref, est) < 1.0
+
 
 class TestOnlyMapping:
     def test_gt_pose_mapping(self, tmp_path):
