@@ -33,6 +33,14 @@ class Renderer:
         active = int(surfel.active_sh_degree)
         self.active_sh_degree = self.max_sh_degree if active < 0 else active
         self.backend = backend or str(cfg.System.get("render_backend", "")) or _default_backend()
+        # per-tile entry capacity of the Pallas compositor. Hole pixels keep a
+        # whole 32x128 block sweeping until its entry list ends, so cap bounds
+        # the real forward AND backward work (measured ~linear: fwd+bwd 57 ms
+        # at 512 vs 24 ms at 128 for 370k surfels on v5e); entries are
+        # depth-sorted so overflow drops the farthest splats. 512 reproduces
+        # the golden compositor on the synthetic e2e; 256 truncates visibly
+        # (ATE 1.66 -> 4.08 cm) — lower only for throughput-over-quality runs.
+        self.raster_cap = int(cfg.System.get("raster_cap", 512))
 
     def render(self, frame, params: dict) -> dict:
         """Render `params` from `frame`'s current pose estimate."""
@@ -43,7 +51,8 @@ class Renderer:
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
             return render_pallas(params, w2c, intr, width, height,
-                                 sh_degree=self.active_sh_degree, binning=cache)
+                                 sh_degree=self.active_sh_degree, cap=self.raster_cap,
+                                 binning=cache)
         return render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
 
     def precompute_cache(self, params: dict, w2c, intr, width: int, height: int):
@@ -52,5 +61,5 @@ class Renderer:
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import compute_binning
 
-            return compute_binning(params, w2c, intr, width, height)
+            return compute_binning(params, w2c, intr, width, height, cap=self.raster_cap)
         return None

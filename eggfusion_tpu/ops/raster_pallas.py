@@ -22,9 +22,10 @@ the classic splatting pipeline, re-shaped for TPU:
      processing entries in 8-row chunks (one VMEM row-block load + static
      unroll amortizes the dynamic-slice overhead), with early exit when the
      whole block's transmittance saturates.
-  6. custom VJP: the backward kernel recomputes the forward transmittance,
-     checkpointing T at every chunk boundary in VMEM scratch, then walks
-     chunks in reverse carrying suffix accumulators — the d(out)/d(alpha_i) =
+  6. custom VJP: the vjp-forward writes per-chunk transmittance checkpoints
+     as an extra output (~1 MB/tile of HBM — cheaper than the backward
+     re-sweeping every entry's alpha); the backward walks chunks in reverse
+     carrying suffix accumulators — the d(out)/d(alpha_i) =
      T_i c_i - S_i/(1-alpha_i) recurrence of the 3DGS backward, done per
      4096-pixel vector block instead of per CUDA thread. Per-entry
      transmittances are recomputed forward from the exact chunk checkpoint,
@@ -52,16 +53,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eggfusion_tpu.ops import raster_common as rc
 
-TILE_H = 32
+TILE_H = 32  # smaller tiles measured strictly worse: per-entry slab loads,
+#              not per-pixel math, dominate — TILE_H=8 at the same cap is
+#              2.5x slower fwd (38.7 vs 15.7 ms) and 3.2x slower fwd+bwd
+#              (179 vs 56.5 ms) at 370k surfels on v5e, because 4x more
+#              tiles each still saturate the entry cap.
 TILE_W = 128
 KX = 2  # candidate tile window, x (256 px: covers radius <= 63 px)
-KY = 2  # candidate tile window, y (64 px: covers radius <= 15.5 px — the
-#         binning radius is clamped to that; see _bin_entries. Binning sort
-#         cost AND the backward's back_map gather scale with KX*KY, so the
-#         window is the single biggest rasterizer cost knob.)
-BIN_RADIUS_MAX_Y = 15.5  # binning-extent clamp (px); alpha is NOT clamped —
-#         a taller splat just truncates to the 2-tile-row window, the same
-#         policy the fixed window already applies to very wide splats
+KY = 2  # candidate tile window, y (2*TILE_H px: covers radius <=
+#         (2*TILE_H-1)/2 px — the binning radius is clamped to that; see
+#         _bin_entries. Binning sort cost AND the backward's back_map gather
+#         scale with KX*KY, so the window is the single biggest rasterizer
+#         cost knob.)
+BIN_RADIUS_MAX_Y = (KY * TILE_H - 1) / 2  # binning-extent clamp (px); alpha
+#         is NOT clamped — a taller splat just truncates to the KY-tile-row
+#         window, the same policy the fixed window applies to very wide splats
 CHUNK = 8  # entries per VMEM row-block load (and backward checkpoint period)
 STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
 
@@ -130,15 +136,25 @@ def _entry_zpx(ch, rx, ry):
 # --------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(tx_tiles: int, cap: int):
+def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool):
+    """Forward compositor; with `checkpoint`, also emits the per-chunk
+    transmittance checkpoints the backward kernel needs (so the backward
+    skips its whole phase-1 forward recompute — ~1 MB/tile of HBM traffic
+    instead of a second alpha sweep over every entry)."""
     n_chunks_max = cap // CHUNK
 
-    def kernel(counts_ref, intr_ref, entries_ref, rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref):
+    def kernel(counts_ref, intr_ref, entries_ref, rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref,
+               *ckpt_refs):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         count = jnp.minimum(counts_ref[t, 0], cap)
         n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
+
+        if checkpoint:
+            # zero-fill so the backward can detect early-exited (unwritten)
+            # chunks: written checkpoints always have max T > STOP_EPS
+            ckpt_refs[0][0, :, :] = jnp.zeros((n_chunks_max * TILE_H, TILE_W), jnp.float32)
 
         # chunked: one (CHUNK, 16) row-block load + static unroll per chunk
         # amortizes the dynamic-slice / scalar-extract overhead 8x vs a
@@ -150,6 +166,8 @@ def _make_fwd_kernel(tx_tiles: int, cap: int):
 
         def body(carry):
             i, r, g, b, nx, ny, nz, dep, opa, T = carry
+            if checkpoint:
+                ckpt_refs[0][0, pl.ds(i * TILE_H, TILE_H), :] = T
             ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
             for k in range(CHUNK):
                 alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
@@ -193,8 +211,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
     def kernel(
         counts_ref, intr_ref, entries_ref,
         g_rgb_ref, g_nrm_ref, g_dep_ref, g_opa_ref, g_T_ref,
+        T_ckpt,  # (1, (cap//CHUNK)*TILE_H, TILE_W) — written by the vjp-forward
+        T_fin_ref,  # final transmittance (the forward's 5th output)
         dent_ref,
-        T_ckpt,  # VMEM scratch ((cap//CHUNK)*TILE_H, TILE_W)
     ):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
@@ -204,23 +223,16 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
         dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
 
-        # ---- phase 1: forward transmittance sweep, checkpoint per chunk ----
-        # (2D scratch + sublane dynamic slice: a 3D dynamic first-dim index
-        # would lower to a switch over cap//CHUNK cases)
-        def cond1(carry):
-            i, T = carry
-            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
+        # ---- phase 0: recover how many chunks the forward actually ran -----
+        # The vjp-forward zero-fills unwritten (early-exited) chunk slots and
+        # only writes a checkpoint when max(T) > STOP_EPS held, so the first
+        # all-<=-STOP_EPS slot marks the forward's stopping point.
+        def cond0(i):
+            Tc = T_ckpt[0, pl.ds(i * TILE_H, TILE_H), :]
+            return (i < n_chunks) & (jnp.max(Tc) > STOP_EPS)
 
-        def body1(carry):
-            i, T = carry
-            T_ckpt[pl.ds(i * TILE_H, TILE_H), :] = T
-            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
-            for k in range(CHUNK):
-                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
-                T = T * (1.0 - alpha)
-            return (i + 1, T)
-
-        n_done, T_fin = jax.lax.while_loop(cond1, body1, (jnp.int32(0), jnp.ones_like(zero)))
+        n_done = jax.lax.while_loop(cond0, lambda i: i + 1, jnp.int32(0))
+        T_fin = T_fin_ref[:, :]
 
         g_r = g_rgb_ref[0, :, :]
         g_g = g_rgb_ref[1, :, :]
@@ -239,7 +251,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         def body2(carry):
             ci, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So = carry
             ch = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
-            Tc = T_ckpt[pl.ds(ci * TILE_H, TILE_H), :]
+            Tc = T_ckpt[0, pl.ds(ci * TILE_H, TILE_H), :]
 
             alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], []
             T = Tc
@@ -353,8 +365,12 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
     intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
     entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
 
+    ckpt_h = (cap // CHUNK) * TILE_H
+    ckpt_spec = pl.BlockSpec((1, ckpt_h, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    ckpt_shape = jax.ShapeDtypeStruct((n_tiles, ckpt_h, TILE_W), jnp.float32)
+
     fwd_call = pl.pallas_call(
-        _make_fwd_kernel(tx_tiles, cap),
+        _make_fwd_kernel(tx_tiles, cap, checkpoint=False),
         grid=(n_tiles,),
         in_specs=[counts_spec, intr_spec, entries_spec],
         out_specs=(blk3(), blk3(), blk1(), blk1(), blk1()),
@@ -362,13 +378,25 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         interpret=interpret,
     )
 
+    # vjp-forward: same compositor, plus per-chunk T checkpoints as a 6th
+    # output (residual for the backward — trades ~1 MB/tile of HBM for the
+    # backward's whole phase-1 alpha resweep)
+    fwd_ckpt_call = pl.pallas_call(
+        _make_fwd_kernel(tx_tiles, cap, checkpoint=True),
+        grid=(n_tiles,),
+        in_specs=[counts_spec, intr_spec, entries_spec],
+        out_specs=(blk3(), blk3(), blk1(), blk1(), blk1(), ckpt_spec),
+        out_shape=(img(3), img(3), img(0), img(0), img(0), ckpt_shape),
+        interpret=interpret,
+    )
+
     bwd_call = pl.pallas_call(
         _make_bwd_kernel(tx_tiles, cap),
         grid=(n_tiles,),
-        in_specs=[counts_spec, intr_spec, entries_spec, blk3(), blk3(), blk1(), blk1(), blk1()],
+        in_specs=[counts_spec, intr_spec, entries_spec, blk3(), blk3(), blk1(), blk1(), blk1(),
+                  ckpt_spec, blk1()],
         out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(((cap // CHUNK) * TILE_H, TILE_W), jnp.float32)],
         interpret=interpret,
     )
 
@@ -377,13 +405,15 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         return fwd_call(counts, intr.reshape(1, 4), entries)
 
     def composite_fwd(entries, counts, intr):
-        return composite(entries, counts, intr), (entries, counts, intr)
+        rgb, nrm, dep, opa, T, T_ckpt = fwd_ckpt_call(counts, intr.reshape(1, 4), entries)
+        return (rgb, nrm, dep, opa, T), (entries, counts, intr, T_ckpt, T)
 
     def composite_bwd(res, cots):
-        entries, counts, intr = res
+        entries, counts, intr, T_ckpt, T_fin = res
         g_rgb, g_nrm, g_dep, g_opa, g_T = cots
         d_entries = bwd_call(
-            counts, intr.reshape(1, 4), entries, g_rgb, g_nrm, g_dep, g_opa, g_T
+            counts, intr.reshape(1, 4), entries, g_rgb, g_nrm, g_dep, g_opa, g_T,
+            T_ckpt, T_fin,
         )
         zero_i = np.zeros(counts.shape, jax.dtypes.float0)
         return d_entries, zero_i, jnp.zeros_like(intr)

@@ -1,131 +1,142 @@
-"""Per-phase timing of the frame pipeline on the attached device.
+"""Per-phase wall-clock profile of the bench workload.
 
-Times each jitted program (blocked) on real bench-shaped inputs to find the
-hot phase. Usage: python tools/profile_phases.py [--frames N]
+Runs the bench configuration for a few frames, then times each jitted
+program in isolation (steady state, block_until_ready) to show where the
+per-frame budget goes. Usage:
+
+    python tools/profile_phases.py [n_frames]
 """
 from __future__ import annotations
 
-import os
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+sys.path.insert(0, ".")
 
 
-def timeit(label, fn, *args, n=5, **kw):
-    out = fn(*args, **kw)
+def t(fn, n=5):
+    import jax
+
+    out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()
     for _ in range(n):
-        out = fn(*args, **kw)
-        jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n * 1e3
-    print(f"{label:34s} {dt:9.2f} ms", flush=True)
-    return out, dt
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 def main():
-    width = int(os.environ.get("BENCH_WIDTH", 1280))
-    height = int(os.environ.get("BENCH_HEIGHT", 704))
-    max_surfels = int(os.environ.get("BENCH_SURFELS", 600_000))
+    import os
+
+    from eggfusion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax
+    import jax.numpy as jnp
 
     from eggfusion_tpu import config as cfglib
     from eggfusion_tpu.main import build_frame
     from eggfusion_tpu.data.datasets import load_dataset
     from eggfusion_tpu.system import EGGFusion
+    from eggfusion_tpu.core.mapper import KeyFrame, _geo_snapshot, _adam_init, OPT_FIELDS
 
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 14
+    width = int(os.environ.get("BENCH_WIDTH", 1280))
+    height = int(os.environ.get("BENCH_HEIGHT", 704))
     cfg = cfglib.default_config(
         Dataset={
-            "type": "synthetic", "n_frames": 20, "unique_frames": 6,
+            "type": "synthetic", "n_frames": n_frames, "unique_frames": 10,
             "device_frames": True, "preload": False,
             "Calibration": {
                 "fx": 600.0, "fy": 600.0, "cx": width / 2 - 0.5, "cy": height / 2 - 0.5,
                 "width": width, "height": height, "depth_scale": 1.0,
             },
         },
-        Viewer={"max_surfels_num": max_surfels},
+        Viewer={"max_surfels_num": int(os.environ.get("BENCH_SURFELS", 600_000))},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
-        System={"save_dir": "results/profile", "final_global_opt": False},
+        System={"save_dir": "results/profile", "final_global_opt": False,
+                "capacity_bucketing": False},
     )
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
     ef.warmup()
-    print("warmup done", flush=True)
-
-    # run frames 0..12 to populate the map and trigger all compiles
-    for fid in range(13):
+    for fid in range(n_frames):
         ef.reconstruct(build_frame(dataset, fid, False))
-    jax.block_until_ready(ef.mapper.surfels.xyz)
-    print(f"populated, surfels={int(ef.mapper.surfels.num_active())}", flush=True)
+        jax.block_until_ready(ef.mapper.surfels.count)
+    for m in ef.metrics[-6:]:
+        print({k: round(v, 1) if isinstance(v, float) else v for k, v in m.items()
+               if k != "surfels"})
 
-    frame = build_frame(dataset, 13, False)
-    jax.block_until_ready(frame.color)
+    only = set(os.environ.get("PROF_ONLY", "").split(",")) - {""}
 
-    from eggfusion_tpu.core.tracker import dense_track_pose
-    from eggfusion_tpu.core import surfels as sf
+    def want(name):
+        return not only or name in only
 
-    m = ef.mapper
-    s = m.surfels
+    mp = ef.mapper
+    frame = build_frame(dataset, n_frames - 1, False)
+    s = mp.surfels
+    fm = ef.frame_map
     w2c = frame.w2c_matrix()
     intr = frame.intr
+    W, H = frame.width, frame.height
 
-    # --- phases ---
-    pyr_model = ef.model_map["pyramid"]
-    timeit("track (dense_track_pose)", dense_track_pose, pyr_model, frame.pyramid,
-           jnp.eye(4), ef.model_map["transform"], ef.tracker.config)
+    print(f"surfels active: {int(s.num_active())} / cap {s.capacity}")
 
-    from eggfusion_tpu.system import preprocess_frame_map
-    p0 = frame.pyramid[0]
-    fm, _ = timeit("preprocess_frame_map", preprocess_frame_map, frame.color, frame.depth,
-                   p0.vertex, p0.normal, frame.mask, intr, frame.c2w_matrix(),
-                   ef.reco_normal_thres)
+    # --- phase: tracking ---------------------------------------------------
+    if want("track"):
+        from eggfusion_tpu.core.tracker import dense_track_pose
 
-    # map_update without donation hazards: pass a copy
-    def mu():
-        s2 = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, s)
-        return m._map_update(s2, fm, w2c, intr, jnp.int32(13), m._rng,
-                             frame.width, frame.height, False)
-    timeit("map_update (render+fuse+spawn)", mu)
+        pyr_model = ef.model_map["pyramid"]
+        eye = jnp.eye(4)
+        print(f"dense_track:        {t(lambda: dense_track_pose(pyr_model, frame.pyramid, eye, eye, ef.tracker.config)):7.1f} ms")
 
-    timeit("render_model", m._render_model, s, w2c, intr, frame.width, frame.height)
+    # --- frame build (pyramid) --------------------------------------------
+    if want("frame"):
+        print(f"frame build:        {t(lambda: build_frame(dataset, 3, False).pyramid[0].intensity):7.1f} ms")
 
-    cache, _ = timeit("bin_cache", m._bin_cache, s, w2c, intr, frame.width, frame.height)
+    # --- preprocess --------------------------------------------------------
+    if want("pre"):
+        print(f"preprocess:         {t(lambda: ef.preprocess(frame) or ef.frame_map['color_map']):7.1f} ms")
 
-    from eggfusion_tpu.core.mapper import _geo_snapshot, _adam_init, OPT_FIELDS
+    # --- map update (fusion + spawn; no donation here so time w/ copy) ----
+    if want("map"):
+        def map_upd():
+            s2, _ = mp._map_update(
+                jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, 'dtype') else x, s),
+                fm, w2c, intr, jnp.int32(mp.time), mp._rng, W, H, False)
+            return s2.count
+
+        print(f"map_update(+copy):  {t(map_upd):7.1f} ms")
+
+    # --- render + postprocess ---------------------------------------------
+    if want("post"):
+        print(f"render+postprocess: {t(lambda: ef._render_postprocess(s, fm, w2c, intr, W, H)['rendered_color']):7.1f} ms")
+
+    # --- opt_step ----------------------------------------------------------
+    if not want("opt"):
+        return
+    kf = KeyFrame(frame, fm, mp.time, -1, "device")
+    kfm = kf.device_maps()
     geo = _geo_snapshot(s)
-    kfm = {
-        "color": fm["color_map"], "depth": fm["depth_map"], "normal": fm["normal_map_c"],
-        "rgb_mask": fm["rgb_mask"], "geo_mask": fm["geo_mask"],
-    }
-    lrs_dev = {k: jnp.float32(v) for k, v in m.sw_lrs.items()}
+    lrs = {k: jnp.float32(v) for k, v in mp.sw_lrs.items()}
+    cache = mp._bin_cache(s, w2c, intr, W, H)
+    print(f"bin_cache:          {t(lambda: mp._bin_cache(s, w2c, intr, W, H).counts):7.1f} ms")
 
-    def one_opt(cache_):
-        s2 = jax.tree.map(lambda x: x + 0 if hasattr(x, "dtype") else x, s)
-        params = {k: getattr(s2, k) for k in OPT_FIELDS}
-        moments = _adam_init(params)
-        return m._opt_step(s2, moments, jnp.int32(0), kfm, w2c, intr, geo, lrs_dev,
-                           frame.width, frame.height, cache_)
-    timeit("opt_step (cached binning)", one_opt, cache, n=3)
-    timeit("opt_step (no cache)", one_opt, None, n=3)
+    def opt(c):
+        def f():
+            # full copy: _opt_step donates its SoA; aliasing any field of `s`
+            # would delete the buffers the next timing iteration reads
+            s0 = jax.tree_util.tree_map(lambda x: x + 0, s)
+            m0 = _adam_init({k: getattr(s, k) for k in OPT_FIELDS})
+            s2, m2, st, loss = mp._opt_step(s0, m0, jnp.int32(0), kfm, w2c, intr, geo, lrs, W, H, c)
+            return loss
+        return f
 
-    def rpp():
-        return ef._render_postprocess(s, fm, w2c, intr, frame.width, frame.height)
-    timeit("render_postprocess", rpp)
-
-    # dispatch-latency floor: a trivial program round-trip
-    f_triv = jax.jit(lambda x: x + 1)
-    x = jnp.zeros((8,))
-    timeit("trivial dispatch round-trip", f_triv, x, n=20)
-
-    # frame build cost
-    t0 = time.perf_counter()
-    for fid in range(14, 19):
-        fr = build_frame(dataset, fid, False)
-        jax.block_until_ready(fr.color)
-    print(f"{'build_frame':34s} {(time.perf_counter()-t0)/5*1e3:9.2f} ms", flush=True)
+    print(f"opt_step (cached):  {t(opt(cache)):7.1f} ms")
+    print(f"opt_step (no bin):  {t(opt(None)):7.1f} ms")
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    main()
