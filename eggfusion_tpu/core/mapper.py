@@ -124,7 +124,7 @@ def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict
     # drift regularizer: global L2 position norm (reference quirk: torch.norm
     # over the whole tensor, `mapper.py:429`) + masked-mean normal cosine
     reg_pos = _safe_norm(geo_snapshot["position"] - s.xyz)
-    ncos = jnp.sum(geo_snapshot["normal"] * s.get_normal(), axis=-1)
+    ncos = jnp.sum(geo_snapshot["normal"] * s.get_normal(), axis=0)
     ncos = jnp.clip(ncos, -1 + 1e-6, 1 - 1e-6)
     reg_norm = _masked_mean(jnp.abs(1.0 - ncos), s.active)
     reg_loss = reg_pos + mcfg.reg_weight_n * reg_norm
@@ -317,12 +317,11 @@ class Mapping:
             stats = None
             if not first:
                 model = render_at(sf.render_params(s), w2c, intr, width, height)
-                imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, w2c, intr, width, height)
-                s, stats = fusion.fuse_surfels(
-                    s, imap, w2c, intr,
+                s, stats = fusion.fuse_frame(
+                    s, w2c, intr,
                     frame_map["vertex_map_w"], frame_map["normal_map_w"],
                     frame_map["color_map"], depth, frame_map["geo_mask"],
-                    model["depth"], mcfg.fusion_dist_thres, scfg, time,
+                    mcfg.fusion_dist_thres, scfg,
                 )
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
                 depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)

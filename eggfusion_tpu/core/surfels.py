@@ -8,6 +8,15 @@ active mask and an append watermark**: spawning scatters into free slots,
 deletion clears the active mask, and every per-frame program compiles exactly
 once.
 
+**Layout: every per-surfel field is stored TRANSPOSED, (k, N).** An (N, 3)
+array tiles onto the TPU VPU with the 3-wide axis on the 128-lane dimension —
+every elementwise op runs at 3/128 lane utilization, and column slices
+relayout. Transposed (3, N) puts the surfel axis on lanes: the same chains run
+~50x faster (measured: norm over (600k, 3) 1.45 ms vs 0.03 ms transposed on
+v5e), rigid transforms become (3, 3) @ (3, N) MXU matmuls, and the
+row-layout boundaries that remain (rasterizer attribute slabs, PLY export)
+pay one cheap transpose (~0.15 ms for the whole SoA at 600k).
+
 Field inventory matches the reference SoA (`gaussian_surfels.py:17-32`):
 optimizable (xyz, features_dc, features_rest, scaling, rotation, opacity) +
 probabilistic fusion state (eta, sigma2, observe_count, tic, error_count,
@@ -52,16 +61,16 @@ class SurfelConfig(NamedTuple):
 
 @struct.dataclass
 class SurfelMap:
-    """Fixed-capacity surfel SoA. All arrays have leading dim = capacity."""
+    """Fixed-capacity surfel SoA. All arrays have TRAILING dim = capacity."""
 
-    xyz: jnp.ndarray  # (C, 3) world position
-    features_dc: jnp.ndarray  # (C, 1, 3) SH DC
-    features_rest: jnp.ndarray  # (C, R, 3) higher SH, R = (deg+1)^2 - 1
-    scaling: jnp.ndarray  # (C, 3) log-scale; [:, 2] pinned flat
-    rotation: jnp.ndarray  # (C, 4) unnormalized quaternion wxyz
-    opacity: jnp.ndarray  # (C, 1) logit opacity
-    eta: jnp.ndarray  # (C, 6) information vector [pos*lam_p, normal*lam_n]
-    sigma2: jnp.ndarray  # (C, 2) variances [sigma2_p, sigma2_n]
+    xyz: jnp.ndarray  # (3, C) world position
+    features_dc: jnp.ndarray  # (3, 1, C) SH DC
+    features_rest: jnp.ndarray  # (3, R, C) higher SH, R = (deg+1)^2 - 1
+    scaling: jnp.ndarray  # (3, C) log-scale; [2] pinned flat
+    rotation: jnp.ndarray  # (4, C) unnormalized quaternion wxyz
+    opacity: jnp.ndarray  # (1, C) logit opacity
+    eta: jnp.ndarray  # (6, C) information vector [pos*lam_p, normal*lam_n]
+    sigma2: jnp.ndarray  # (2, C) variances [sigma2_p, sigma2_n]
     observe_count: jnp.ndarray  # (C,) i32
     tic: jnp.ndarray  # (C,) i32 creation time
     error_count: jnp.ndarray  # (C,) i32
@@ -79,14 +88,14 @@ class SurfelMap:
         R = (cfg.max_sh_degree + 1) ** 2 - 1
         f = jnp.float32
         return SurfelMap(
-            xyz=jnp.zeros((C, 3), f),
-            features_dc=jnp.zeros((C, 1, 3), f),
-            features_rest=jnp.zeros((C, R, 3), f),
-            scaling=jnp.full((C, 3), FLAT_LOG_SCALE, f),
-            rotation=jnp.zeros((C, 4), f).at[:, 0].set(1.0),
-            opacity=jnp.zeros((C, 1), f),
-            eta=jnp.zeros((C, 6), f),
-            sigma2=jnp.ones((C, 2), f),
+            xyz=jnp.zeros((3, C), f),
+            features_dc=jnp.zeros((3, 1, C), f),
+            features_rest=jnp.zeros((3, R, C), f),
+            scaling=jnp.full((3, C), FLAT_LOG_SCALE, f),
+            rotation=jnp.zeros((4, C), f).at[0].set(1.0),
+            opacity=jnp.zeros((1, C), f),
+            eta=jnp.zeros((6, C), f),
+            sigma2=jnp.ones((2, C), f),
             observe_count=jnp.zeros((C,), jnp.int32),
             tic=jnp.zeros((C,), jnp.int32),
             error_count=jnp.zeros((C,), jnp.int32),
@@ -101,7 +110,7 @@ class SurfelMap:
 
     @property
     def capacity(self) -> int:
-        return self.xyz.shape[0]
+        return self.xyz.shape[-1]
 
     def get_scaling(self) -> jnp.ndarray:
         return jnp.exp(self.scaling)
@@ -110,44 +119,47 @@ class SurfelMap:
         return jax.nn.sigmoid(self.opacity)
 
     def get_rotation(self) -> jnp.ndarray:
-        return self.rotation / (jnp.linalg.norm(self.rotation, axis=-1, keepdims=True) + 1e-12)
+        return self.rotation / (jnp.linalg.norm(self.rotation, axis=0, keepdims=True) + 1e-12)
 
     def get_R(self) -> jnp.ndarray:
-        return tf.build_rotation(self.rotation)
+        return tf.build_rotation_t(self.rotation)  # (3, 3, C)
 
     def get_normal(self) -> jnp.ndarray:
-        """Column of R at the min-scale axis (reference `:380-391`).
+        """Column of R at the min-scale axis (reference `:380-391`) -> (3, C).
 
         The min-scale axis is ALWAYS index 2: `append_surfels` pins
-        scaling[:, 2] to FLAT_LOG_SCALE (-30) and no optimizer step can close
+        scaling[2] to FLAT_LOG_SCALE (-30) and no optimizer step can close
         a >25 log-unit gap, so the argmin+take_along_axis the reference does
-        per call reduces to a static column slice (the dynamic gather costs
-        ~26 ms per grad step at 600k capacity on v5e; the slice is free).
+        per call reduces to a static column — and computing just that column
+        (`normal_from_quat_t`) skips 2/3 of the rotation build.
         """
-        normal = self.get_R()[:, :, 2]
-        return normal / (jnp.linalg.norm(normal, axis=-1, keepdims=True) + 1e-8)
+        return tf.normal_from_quat_t(self.rotation)
 
     def get_features(self) -> jnp.ndarray:
-        """(C, (deg+1)^2, 3) stacked SH coefficients."""
+        """(3, (deg+1)^2, C) stacked SH coefficients."""
         return jnp.concatenate([self.features_dc, self.features_rest], axis=1)
 
     def get_radius(self) -> jnp.ndarray:
-        """(sum(scales) - min(scale)) / 2 (reference `:358-362`)."""
+        """(sum(scales) - min(scale)) / 2 (reference `:358-362`) -> (C,)."""
         s = self.get_scaling()
-        return (jnp.sum(s, axis=-1) - jnp.min(s, axis=-1)) / 2.0
+        return (jnp.sum(s, axis=0) - jnp.min(s, axis=0)) / 2.0
 
     def get_color(self) -> jnp.ndarray:
-        return shlib.sh_to_rgb(self.features_dc[:, 0, :])
+        return shlib.sh_to_rgb(self.features_dc[:, 0, :])  # (3, C)
 
     def get_confidence(self) -> jnp.ndarray:
-        return jnp.sum(1.0 / self.sigma2, axis=-1)
+        return jnp.sum(1.0 / self.sigma2, axis=0)
 
     def num_active(self) -> jnp.ndarray:
         return jnp.sum(self.active.astype(jnp.int32))
 
 
 class SpawnBatch(NamedTuple):
-    """Fixed-size batch of candidate surfels to append (invalid rows masked)."""
+    """Fixed-size batch of candidate surfels to append (invalid rows masked).
+
+    ROW layout (K, k): spawn batches are built from row gathers of image maps
+    and are small (<= spawn_cap); `append_surfels` transposes once on entry.
+    """
 
     xyz: jnp.ndarray  # (K, 3)
     normal: jnp.ndarray  # (K, 3)
@@ -186,40 +198,44 @@ def append_surfels(s: SurfelMap, batch: SpawnBatch, time: jnp.ndarray, init_opac
     n_valid = jnp.minimum(jnp.sum(valid.astype(jnp.int32)), Kw)
     K = Kw
 
-    xyz = compact(batch.xyz)
-    normal = compact(batch.normal)
-    color = compact(batch.color)
-    dist = compact(batch.dist)
-    eta = compact(batch.eta)
-    sigma2 = compact(batch.sigma2)
+    # transpose to the map layout up front; per-surfel math below is
+    # componentwise on (K,) rows
+    xyz = compact(batch.xyz).T  # (3, K)
+    normal = compact(batch.normal).T
+    color = compact(batch.color).T
+    dist = compact(batch.dist).T
+    eta = compact(batch.eta).T  # (6, K)
+    sigma2 = compact(batch.sigma2).T  # (2, K)
 
-    q = tf.compute_rot(jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (K, 3)), normal)
+    q = tf.rot_z_to_t(normal)  # (4, K)
     scales = jnp.log(jnp.maximum(dist, 1e-12))
-    scales = scales.at[:, 2].set(FLAT_LOG_SCALE)
-    dc = shlib.rgb_to_sh(color)[:, None, :]
-    opa = tf.inverse_sigmoid(jnp.full((K, 1), init_opacity, jnp.float32))
+    scales = scales.at[2].set(FLAT_LOG_SCALE)
+    dc = shlib.rgb_to_sh(color)[:, None, :]  # (3, 1, K)
+    opa = tf.inverse_sigmoid(jnp.full((1, K), init_opacity, jnp.float32))
 
-    # window start: clamp so the K-row window fits; rows whose global slot
+    # window start: clamp so the K-slot window fits; slots whose global index
     # lands outside [count, C) keep the old content (drop-at-capacity policy)
     start = jnp.clip(s.count, 0, C - K)
-    shift = s.count - start  # how far new row r sits into the window
+    shift = s.count - start  # how far new slot r sits into the window
     r = jnp.arange(K, dtype=jnp.int32)
     write = (r >= shift) & (r - shift < n_valid) & (start + r < C)
 
     def blend(dst, new):
-        # align new rows to window positions: window row r <- new[r - shift]
-        pad = jnp.zeros((K,) + new.shape[1:], new.dtype)
-        new2 = jnp.concatenate([pad, new], axis=0)  # row r-shift at K-shift+r
-        aligned = jax.lax.dynamic_slice_in_dim(new2, K - shift, K, axis=0)
-        old = jax.lax.dynamic_slice_in_dim(dst, start, K, axis=0)
-        m = write.reshape((K,) + (1,) * (new.ndim - 1))
-        return jax.lax.dynamic_update_slice_in_dim(dst, jnp.where(m, aligned, old), start, axis=0)
+        # align new slots to window positions along the LAST (surfel) axis:
+        # window slot r <- new[r - shift]
+        axis = dst.ndim - 1
+        pad = jnp.zeros(new.shape[:-1] + (K,), new.dtype)
+        new2 = jnp.concatenate([pad, new], axis=axis)  # slot r-shift at K-shift+r
+        aligned = jax.lax.dynamic_slice_in_dim(new2, K - shift, K, axis=axis)
+        old = jax.lax.dynamic_slice_in_dim(dst, start, K, axis=axis)
+        m = write.reshape((1,) * axis + (K,))
+        return jax.lax.dynamic_update_slice_in_dim(dst, jnp.where(m, aligned, old), start, axis=axis)
 
-    Kz = lambda shape, dt, v: jnp.full((K,) + shape, v, dt)
+    Kz = lambda shape, dt, v: jnp.full(shape + (K,), v, dt)
     s = s.replace(
         xyz=blend(s.xyz, xyz),
         features_dc=blend(s.features_dc, dc),
-        features_rest=blend(s.features_rest, jnp.zeros((K,) + s.features_rest.shape[1:])),
+        features_rest=blend(s.features_rest, jnp.zeros(s.features_rest.shape[:-1] + (K,))),
         scaling=blend(s.scaling, scales),
         rotation=blend(s.rotation, q),
         opacity=blend(s.opacity, opa),
@@ -257,15 +273,15 @@ def grow_surfels(s: SurfelMap, new_capacity: int) -> SurfelMap:
     def ext(x, fill=0):
         if x.ndim == 0:
             return x
-        p = jnp.full((pad,) + x.shape[1:], fill, x.dtype)
-        return jnp.concatenate([x, p], axis=0)
+        p = jnp.full(x.shape[:-1] + (pad,), fill, x.dtype)
+        return jnp.concatenate([x, p], axis=-1)
 
     return s.replace(
         xyz=ext(s.xyz),
         features_dc=ext(s.features_dc),
         features_rest=ext(s.features_rest),
         scaling=ext(s.scaling, FLAT_LOG_SCALE),
-        rotation=ext(s.rotation).at[C:, 0].set(1.0),
+        rotation=ext(s.rotation).at[0, C:].set(1.0),
         opacity=ext(s.opacity),
         eta=ext(s.eta),
         sigma2=ext(s.sigma2, 1),
@@ -295,13 +311,12 @@ def compact_surfels(s: SurfelMap) -> SurfelMap:
     One argsort + gather; run occasionally from the host when
     count - num_active grows large.
     """
-    C = s.capacity
     order = jnp.argsort(~s.active, stable=True)  # actives first, stable
 
     def gather(x):
         if x.ndim == 0:
             return x
-        return x[order]
+        return jnp.take(x, order, axis=-1)
 
     num = s.num_active()
     out = jax.tree_util.tree_map(gather, s)
@@ -309,17 +324,18 @@ def compact_surfels(s: SurfelMap) -> SurfelMap:
 
 
 def render_params(s: SurfelMap) -> dict:
-    """Derived render inputs (reference `Mapping.total_params`, `mapper.py:565-586`)."""
+    """Derived render inputs (reference `Mapping.total_params`,
+    `mapper.py:565-586`). Transposed layout: (k, C) per-surfel fields."""
     rotations = jnp.nan_to_num(s.get_rotation(), nan=1.0)
     return {
-        "xyz": s.xyz,
-        "opacity": s.get_opacity(),
-        "scales": s.get_scaling(),
-        "rotations": rotations,
-        "normal": s.get_normal(),
-        "shs": s.get_features(),
-        "radius": s.get_radius(),
-        "active": s.active,
+        "xyz": s.xyz,  # (3, C)
+        "opacity": s.get_opacity(),  # (1, C)
+        "scales": s.get_scaling(),  # (3, C)
+        "rotations": rotations,  # (4, C)
+        "normal": s.get_normal(),  # (3, C)
+        "shs": s.get_features(),  # (3, K, C)
+        "radius": s.get_radius(),  # (C,)
+        "active": s.active,  # (C,)
     }
 
 

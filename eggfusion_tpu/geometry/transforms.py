@@ -75,6 +75,58 @@ def compute_rot(init_vec: jnp.ndarray, target_vec: jnp.ndarray) -> jnp.ndarray:
     return quaternion_from_axis_angle(axis, angle)
 
 
+def build_rotation_t(q: jnp.ndarray) -> jnp.ndarray:
+    """Transposed-layout `build_rotation`: (4, N) wxyz -> (3, 3, N).
+
+    Componentwise on (N,) rows so every op runs at full TPU lane width
+    (a (N, 4) quaternion chain uses 4 of 128 lanes; see the SoA layout note
+    in `core.surfels`).
+    """
+    r, x, y, z = q[0], q[1], q[2], q[3]
+    inv = 1.0 / jnp.sqrt(r * r + x * x + y * y + z * z + 1e-24)
+    r, x, y, z = r * inv, x * inv, y * inv, z * inv
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)]),
+            jnp.stack([2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)]),
+            jnp.stack([2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)]),
+        ]
+    )
+
+
+def normal_from_quat_t(q: jnp.ndarray) -> jnp.ndarray:
+    """Third column of R(q) for (4, N) quaternions -> unit (3, N).
+
+    The surfel normal is the min-scale (always 3rd, see
+    `core.surfels.SurfelMap.get_normal`) rotation column; computing just that
+    column skips 2/3 of `build_rotation_t`.
+    """
+    r, x, y, z = q[0], q[1], q[2], q[3]
+    inv = 1.0 / jnp.sqrt(r * r + x * x + y * y + z * z + 1e-24)
+    r, x, y, z = r * inv, x * inv, y * inv, z * inv
+    nx = 2 * (x * z + r * y)
+    ny = 2 * (y * z - r * x)
+    nz = 1 - 2 * (x * x + y * y)
+    inv_n = 1.0 / (jnp.sqrt(nx * nx + ny * ny + nz * nz) + 1e-8)
+    return jnp.stack([nx * inv_n, ny * inv_n, nz * inv_n])
+
+
+def rot_z_to_t(target: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion rotating +z onto each column of `target` (3, N) -> (4, N).
+
+    Transposed-layout specialization of `compute_rot` with init = +z:
+    cross(z, n) = (-ny, nx, 0), dot = nz.
+    """
+    nx, ny, nz = target[0], target[1], target[2]
+    ax, ay = -ny, nx
+    inv = 1.0 / (jnp.sqrt(ax * ax + ay * ay) + 1e-8)
+    ax, ay = ax * inv, ay * inv
+    dot = jnp.clip(nz, -1.0 + 1e-7, 1.0 - 1e-7)
+    half = jnp.arccos(dot) * 0.5
+    s = jnp.sin(half)
+    return jnp.stack([jnp.cos(half), ax * s, ay * s, jnp.zeros_like(s)])
+
+
 def transform_map(points: jnp.ndarray, R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
     """Apply rigid transform to an (H, W, 3) map (reference `utils.py:129-133`)."""
     return points @ R.T + t

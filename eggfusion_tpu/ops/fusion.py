@@ -22,6 +22,12 @@ index map — instead of the scatter-add/segment-sum the CUDA kernel uses
 
 `project_surfels_to_frame` builds the per-pixel nearest-surfel index map via
 scatter-min z-buffering (XLA `.at[].min`), the one (cheap, int) scatter left.
+
+Layout: surfel state is the transposed (k, N) SoA (`core.surfels`), so every
+per-surfel chain here is componentwise on (N,) rows — full TPU lane width.
+The one row-layout interface left is the measurement gather: a packed
+(H, W, 11) image gathered by 2-D pixel index (measured 4.5x faster than the
+flat-index gather at 600k surfels on v5e), transposed once to (11, N).
 """
 from __future__ import annotations
 
@@ -37,18 +43,18 @@ from eggfusion_tpu.geometry import transforms as tf
 
 
 def _center_pixels(xyz, active, w2c, intr, width: int, height: int):
-    """Each surfel's rounded center pixel (flat index), validity, and z."""
-    R = w2c[:3, :3]
-    t = w2c[:3, 3]
+    """Each surfel's rounded center pixel (u, v int coords), validity, z.
+
+    xyz: (3, N) transposed positions.
+    """
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
-    p_cam = xyz @ R.T + t
-    z = p_cam[:, 2]
+    p_cam = w2c[:3, :3] @ xyz + w2c[:3, 3][:, None]  # (3, N)
+    z = p_cam[2]
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-    u = jnp.round(fx * p_cam[:, 0] / z_safe + cx).astype(jnp.int32)
-    v = jnp.round(fy * p_cam[:, 1] / z_safe + cy).astype(jnp.int32)
+    u = jnp.round(fx * p_cam[0] / z_safe + cx).astype(jnp.int32)
+    v = jnp.round(fy * p_cam[1] / z_safe + cy).astype(jnp.int32)
     ok = active & (z > 0.05) & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-    pix = jnp.where(ok, v * width + u, width * height)  # dump slot
-    return pix, ok, z
+    return u, v, ok, z
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -57,16 +63,18 @@ def project_surfels_to_frame(xyz: jnp.ndarray, active: jnp.ndarray, w2c: jnp.nda
     """Per-pixel nearest-surfel index map + depth buffer.
 
     Interface mirror of `project_surfels_to_frame` (`mapper.py:266-276`).
-    Returns (imap (H, W) int32, -1 where empty; depth_buff (H, W) f32, 0 where
-    empty). Each surfel lands on its center pixel; the nearest (min z) wins.
+    xyz is (3, N) transposed. Returns (imap (H, W) int32, -1 where empty;
+    depth_buff (H, W) f32, 0 where empty). Each surfel lands on its center
+    pixel; the nearest (min z) wins.
     """
-    pix, ok, z = _center_pixels(xyz, active, w2c, intr, width, height)
+    u, v, ok, z = _center_pixels(xyz, active, w2c, intr, width, height)
     HW = width * height
+    pix = jnp.where(ok, v * width + u, HW)  # dump slot
     zbuf = jnp.full((HW + 1,), jnp.inf, jnp.float32).at[pix].min(jnp.where(ok, z, jnp.inf))
     # winner: among surfels whose z equals the buffer min at their pixel,
     # take the max index (deterministic tie-break)
     iswin = ok & (z <= zbuf[pix])
-    n = xyz.shape[0]
+    n = xyz.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     imap = jnp.full((HW + 1,), -1, jnp.int32).at[pix].max(jnp.where(iswin, idx, -1))
     depth = jnp.where(jnp.isfinite(zbuf[:HW]), zbuf[:HW], 0.0)
@@ -76,6 +84,138 @@ def project_surfels_to_frame(xyz: jnp.ndarray, active: jnp.ndarray, w2c: jnp.nda
 class FusionStats(NamedTuple):
     fused_pixels: jnp.ndarray  # () i32 number of pixels fused into surfels
     error_pixels: jnp.ndarray  # () i32 association failures counted as errors
+
+
+# winner-sort depth quantization: 12 bits over [0, 20 m) -> 4.9 mm buckets.
+# Ties within a bucket break to the lower surfel index (stable sort).
+WINNER_DEPTH_BITS = 12
+WINNER_DEPTH_FAR = 20.0
+
+
+def winner_flags(xyz, active, w2c, intr, width: int, height: int):
+    """Per-surfel nearest-at-its-pixel flags via ONE radix-style sort.
+
+    Same association as `project_surfels_to_frame` + an index-map gather
+    (the surfel is the min-depth occupant of its center pixel) but computed
+    WITHOUT the z-buffer: a scatter-min + gather + scatter-max costs ~12.5 ms
+    at 600k on v5e (scatters serialize), while sort by (pixel, depth) + the
+    payload-carried inverse sort is ~1.9 ms. Returns (winner (N,) bool,
+    uc (N,) i32, vc (N,) i32) with uc/vc clipped to the frame.
+    """
+    u, v, ok, z = _center_pixels(xyz, active, w2c, intr, width, height)
+    HW = width * height
+    n = z.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pix = jnp.where(ok, v * width + u, HW)
+    if (HW + 1) << WINNER_DEPTH_BITS <= 1 << 32:
+        # fused u32 key: pixel id | quantized depth (one single-key sort)
+        qmax = (1 << WINNER_DEPTH_BITS) - 1
+        qz = jnp.clip(z * (qmax / WINNER_DEPTH_FAR), 0, qmax).astype(jnp.uint32)
+        key = (pix.astype(jnp.uint32) << WINNER_DEPTH_BITS) | qz
+        skey, sidx = jax.lax.sort((key, idx), num_keys=1)
+        spix = (skey >> WINNER_DEPTH_BITS).astype(jnp.int32)
+    else:  # very large frames: exact two-key lexicographic sort
+        spix, _, sidx = jax.lax.sort((pix, z, idx), num_keys=2)
+    first = jnp.concatenate([jnp.ones((1,), bool), spix[1:] != spix[:-1]])
+    win_sorted = first & (spix < HW)
+    _, winner = jax.lax.sort((sidx, win_sorted), num_keys=1)
+    return winner & ok, jnp.clip(u, 0, width - 1), jnp.clip(v, 0, height - 1)
+
+
+def _fuse_with_winner(
+    s: SurfelMap,
+    winner: jnp.ndarray,  # (N,) bool: surfel is the nearest at its pixel
+    uc: jnp.ndarray,  # (N,) i32 clipped center-pixel coords
+    vc: jnp.ndarray,
+    vertex_w, normal_w, color, depth, geo_mask,
+    fusion_dist_thres: float,
+    cfg: SurfelConfig,
+):
+    """Information-filter fusion given the per-surfel association flags
+    (reference `preprocess_surfels` call, `mapper.py:278-308`): update of
+    position/normal, observe/error counting, inview/surface mask refresh.
+
+    Association gates: the surfel won its pixel, valid measurement
+    (geo_mask & depth > 0), |measured vertex - surfel position| <
+    fusion_dist_thres, and normal agreement (dot > cos 60 deg). Disagreeing
+    but visible surfels increment error_count.
+    """
+    # ONE packed 2-D row gather for all per-pixel measurements: gather cost on
+    # TPU is dominated by the random index stream, not the row width, so 5
+    # separate N-row gathers (~4-5 ms each at 600k on v5e) collapse into one;
+    # 2-D (v, u) indexing beats the flat-index gather 4.5x.
+    meas = jnp.concatenate(
+        [vertex_w, normal_w, color, depth, geo_mask.astype(jnp.float32)], axis=-1
+    )[vc, uc]  # (N, 11)
+    mT = meas.T  # (11, N) — cheap; everything below is (N,)-componentwise
+    v_m = mT[0:3]
+    n_m = mT[3:6]
+    c_m = mT[6:9]
+    d_m = mT[9]
+    valid_meas = (mT[10] > 0.5) & (d_m > 0)
+
+    dvec = v_m - s.xyz
+    dist2 = dvec[0] ** 2 + dvec[1] ** 2 + dvec[2] ** 2
+    n_s = s.get_normal()  # (3, N)
+    ndot = n_m[0] * n_s[0] + n_m[1] * n_s[1] + n_m[2] * n_s[2]
+    associate = (
+        winner & valid_meas & (dist2 < fusion_dist_thres * fusion_dist_thres)
+        & (jnp.abs(ndot) > 0.5)
+    )
+    errors = winner & valid_meas & ~associate
+
+    # flip measured normal to the surfel's hemisphere before fusing
+    n_m = n_m * jnp.where(ndot < 0, -1.0, 1.0)
+
+    lam_p = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_p) ** 2, 1e-12), 0.0)
+    lam_n = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_n) ** 2, 1e-12), 0.0)
+
+    lam_p_old = 1.0 / s.sigma2[0]
+    lam_n_old = 1.0 / s.sigma2[1]
+    lam_p_new = lam_p_old + lam_p
+    lam_n_new = lam_n_old + lam_n
+
+    eta_new = s.eta + jnp.concatenate([v_m * lam_p, n_m * lam_n], axis=0)  # (6, N)
+    xyz_new = eta_new[0:3] / lam_p_new
+    normal_new = eta_new[3:6] / lam_n_new
+    normal_new = normal_new / (
+        jnp.sqrt(normal_new[0] ** 2 + normal_new[1] ** 2 + normal_new[2] ** 2) + 1e-8
+    )
+
+    touched = associate
+    # only fuse geometry of touched, UNSTABLE surfels: stable surfels are
+    # geometry-locked (matches the reference's stable/unstable split intent,
+    # `mapper.py:326-334`) so the optimizer-refined map is not overwritten.
+    fuse_geo = touched & ~s.stable & s.active
+
+    rot_new = tf.rot_z_to_t(normal_new)  # (4, N)
+
+    old_color = s.get_color()  # (3, N)
+    col_new = (old_color * lam_p_old + c_m * lam_p) / lam_p_new
+    dc_new = shlib.rgb_to_sh(col_new)[:, None, :]  # (3, 1, N)
+
+    fg = fuse_geo[None]
+    tc = touched[None]
+    s = s.replace(
+        xyz=jnp.where(fg, xyz_new, s.xyz),
+        rotation=jnp.where(fg, rot_new, s.rotation),
+        features_dc=jnp.where(fuse_geo[None, None], dc_new, s.features_dc),
+        eta=jnp.where(tc, eta_new, s.eta),
+        sigma2=jnp.where(
+            tc,
+            jnp.stack([1.0 / lam_p_new, 1.0 / lam_n_new], axis=0),
+            s.sigma2,
+        ),
+        observe_count=s.observe_count + touched.astype(jnp.int32),
+        error_count=s.error_count + errors.astype(jnp.int32),
+        inview=touched | s.inview,
+        surface=jnp.where(touched, True, s.surface),
+    )
+    stats = FusionStats(
+        fused_pixels=jnp.sum(associate.astype(jnp.int32)),
+        error_pixels=jnp.sum(errors.astype(jnp.int32)),
+    )
+    return s, stats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -94,89 +234,44 @@ def fuse_surfels(
     cfg: SurfelConfig,
     time: jnp.ndarray,
 ):
-    """In-place probabilistic fusion (reference `preprocess_surfels` call,
-    `mapper.py:278-308`): information-filter update of position/normal,
-    observe/error counting, inview/surface mask refresh.
-
-    Association gates: the surfel won its pixel in the index map, valid
-    measurement (geo_mask & depth > 0), |measured vertex - surfel position| <
-    fusion_dist_thres, and normal agreement (dot > cos 60 deg). Disagreeing
-    but visible surfels increment error_count.
-    """
+    """Fusion against an explicit index map (oracle/compat path): the winner
+    flag is gathered from `imap` (exact f32 z-buffer association)."""
     H, W = imap.shape
-    HW = H * W
     N = s.capacity
-
-    pix, ok, _z = _center_pixels(s.xyz, s.active, w2c, intr, W, H)
-    pixc = jnp.minimum(pix, HW - 1)
-    winner = ok & (imap.reshape(-1)[pixc] == jnp.arange(N, dtype=jnp.int32))
-
-    # ONE packed gather for all per-pixel measurements: gather cost on TPU is
-    # dominated by the random index stream, not the row width, so 5 separate
-    # N-row gathers (~4-5 ms each at 600k on v5e) collapse into one.
-    meas = jnp.concatenate(
-        [vertex_w, normal_w, color, depth, geo_mask.astype(jnp.float32)], axis=-1
-    ).reshape(-1, 11)[pixc]
-    v_m = meas[:, 0:3]
-    n_m = meas[:, 3:6]
-    c_m = meas[:, 6:9]
-    d_m = meas[:, 9]
-    valid_meas = (meas[:, 10] > 0.5) & (d_m > 0)
-
-    dist = jnp.linalg.norm(v_m - s.xyz, axis=-1)
-    ndot = jnp.sum(n_m * s.get_normal(), axis=-1)
-    associate = winner & valid_meas & (dist < fusion_dist_thres) & (jnp.abs(ndot) > 0.5)
-    errors = winner & valid_meas & ~associate
-
-    # flip measured normal to the surfel's hemisphere before fusing
-    n_m = n_m * jnp.where(ndot < 0, -1.0, 1.0)[:, None]
-
-    lam_p = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_p) ** 2, 1e-12), 0.0)
-    lam_n = jnp.where(associate, 1.0 / jnp.maximum((d_m * cfg.alpha_n) ** 2, 1e-12), 0.0)
-
-    lam_p_old = 1.0 / s.sigma2[:, 0]
-    lam_n_old = 1.0 / s.sigma2[:, 1]
-    lam_p_new = lam_p_old + lam_p
-    lam_n_new = lam_n_old + lam_n
-
-    eta_new = s.eta + jnp.concatenate([v_m * lam_p[:, None], n_m * lam_n[:, None]], axis=-1)
-    xyz_new = eta_new[:, :3] / lam_p_new[:, None]
-    normal_new = eta_new[:, 3:] / lam_n_new[:, None]
-    normal_new = normal_new / (jnp.linalg.norm(normal_new, axis=-1, keepdims=True) + 1e-8)
-
-    touched = associate
-    # only fuse geometry of touched, UNSTABLE surfels: stable surfels are
-    # geometry-locked (matches the reference's stable/unstable split intent,
-    # `mapper.py:326-334`) so the optimizer-refined map is not overwritten.
-    fuse_geo = touched & ~s.stable & s.active
-
-    z_axis = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0], jnp.float32), (N, 3))
-    rot_new = tf.compute_rot(z_axis, normal_new)
-
-    old_color = s.get_color()
-    col_new = (old_color * lam_p_old[:, None] + c_m * lam_p[:, None]) / lam_p_new[:, None]
-    dc_new = shlib.rgb_to_sh(col_new)[:, None, :]
-
-    s = s.replace(
-        xyz=jnp.where(fuse_geo[:, None], xyz_new, s.xyz),
-        rotation=jnp.where(fuse_geo[:, None], rot_new, s.rotation),
-        features_dc=jnp.where(fuse_geo[:, None, None], dc_new, s.features_dc),
-        eta=jnp.where(touched[:, None], eta_new, s.eta),
-        sigma2=jnp.where(
-            touched[:, None],
-            jnp.stack([1.0 / lam_p_new, 1.0 / lam_n_new], axis=-1),
-            s.sigma2,
-        ),
-        observe_count=s.observe_count + touched.astype(jnp.int32),
-        error_count=s.error_count + errors.astype(jnp.int32),
-        inview=touched | s.inview,
-        surface=jnp.where(touched, True, s.surface),
+    u, v, ok, _z = _center_pixels(s.xyz, s.active, w2c, intr, W, H)
+    uc = jnp.clip(u, 0, W - 1)
+    vc = jnp.clip(v, 0, H - 1)
+    winner = ok & (imap[vc, uc] == jnp.arange(N, dtype=jnp.int32))
+    return _fuse_with_winner(
+        s, winner, uc, vc, vertex_w, normal_w, color, depth, geo_mask,
+        fusion_dist_thres, cfg,
     )
-    stats = FusionStats(
-        fused_pixels=jnp.sum(associate.astype(jnp.int32)),
-        error_pixels=jnp.sum(errors.astype(jnp.int32)),
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def fuse_frame(
+    s: SurfelMap,
+    w2c: jnp.ndarray,
+    intr: jnp.ndarray,
+    vertex_w: jnp.ndarray,  # (H, W, 3)
+    normal_w: jnp.ndarray,  # (H, W, 3)
+    color: jnp.ndarray,  # (H, W, 3)
+    depth: jnp.ndarray,  # (H, W, 1)
+    geo_mask: jnp.ndarray,  # (H, W, 1)
+    fusion_dist_thres: float,
+    cfg: SurfelConfig,
+):
+    """One-shot per-frame fusion: sort-based winner association + gather-form
+    information fusion, no index map materialized. This is the hot path
+    (`core.mapper.map_update`): association ~1.9 ms vs the z-buffer + winner
+    gather's ~18 ms at 600k capacity on v5e.
+    """
+    H, W = vertex_w.shape[:2]
+    winner, uc, vc = winner_flags(s.xyz, s.active, w2c, intr, W, H)
+    return _fuse_with_winner(
+        s, winner, uc, vc, vertex_w, normal_w, color, depth, geo_mask,
+        fusion_dist_thres, cfg,
     )
-    return s, stats
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -43,41 +43,44 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
                     sh_degree: int = 3) -> ProjectedSurfels:
     """Project surfels into a pinhole camera.
 
-    params: dict from `core.surfels.render_params`.
-    w2c: (4, 4); intr: (4,) fx, fy, cx, cy; width/height static ints.
+    params: TRANSPOSED (k, N) dict from `core.surfels.render_params`. All
+    per-surfel math is componentwise on (N,) rows (full TPU lane width);
+    rigid transforms are (3, 3) @ (3, N) MXU matmuls. Outputs are ROW layout
+    (N, k) — the rasterizers' depth-sort / tile-binning gathers want
+    contiguous per-surfel rows, and the trailing stacks are cheap.
     """
-    xyz = params["xyz"]
+    xyz = params["xyz"]  # (3, N)
     R = w2c[:3, :3]
     t = w2c[:3, 3]
     fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
 
-    p_cam = xyz @ R.T + t
-    z = p_cam[:, 2]
+    p_cam = R @ xyz + t[:, None]  # (3, N)
+    px, py, z = p_cam[0], p_cam[1], p_cam[2]
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
-    u = fx * p_cam[:, 0] / z_safe + cx
-    v = fy * p_cam[:, 1] / z_safe + cy
+    u = fx * px / z_safe + cx
+    v = fy * py / z_safe + cy
     mean2d = jnp.stack([u, v], axis=-1)
 
-    # tangent disk axes in camera frame
-    Rs = tf.build_rotation(params["rotations"])  # (N, 3, 3)
-    s = params["scales"]
-    tu = (Rs[..., :, 0] * s[:, 0:1]) @ R.T  # (N, 3)
-    tv = (Rs[..., :, 1] * s[:, 1:2]) @ R.T
+    # tangent disk axes in camera frame: columns 0/1 of R(q), scaled
+    Rs = tf.build_rotation_t(params["rotations"])  # (3, 3, N)
+    s = params["scales"]  # (3, N)
+    tu = R @ (Rs[:, 0] * s[0])  # (3, N)
+    tv = R @ (Rs[:, 1] * s[1])
 
     inv_z = 1.0 / z_safe
     inv_z2 = inv_z * inv_z
     # EWA: project each tangent axis with the local perspective Jacobian
     def proj_axis(a):
-        jx = fx * (a[:, 0] * inv_z - p_cam[:, 0] * a[:, 2] * inv_z2)
-        jy = fy * (a[:, 1] * inv_z - p_cam[:, 1] * a[:, 2] * inv_z2)
-        return jnp.stack([jx, jy], axis=-1)
+        jx = fx * (a[0] * inv_z - px * a[2] * inv_z2)
+        jy = fy * (a[1] * inv_z - py * a[2] * inv_z2)
+        return jx, jy
 
-    a2 = proj_axis(tu)
-    b2 = proj_axis(tv)
+    ax, ay = proj_axis(tu)
+    bx, by = proj_axis(tv)
     # 2D covariance = a2 a2^T + b2 b2^T + lowpass*I
-    cxx = a2[:, 0] ** 2 + b2[:, 0] ** 2 + LOWPASS
-    cxy = a2[:, 0] * a2[:, 1] + b2[:, 0] * b2[:, 1]
-    cyy = a2[:, 1] ** 2 + b2[:, 1] ** 2 + LOWPASS
+    cxx = ax * ax + bx * bx + LOWPASS
+    cxy = ax * ay + bx * by
+    cyy = ay * ay + by * by + LOWPASS
     det = cxx * cyy - cxy * cxy
     det = jnp.maximum(det, 1e-12)
     conic = jnp.stack([cyy / det, -cxy / det, cxx / det], axis=-1)
@@ -89,19 +92,18 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
 
     # view-dependent color
     cam_center = -(R.T @ t)
-    dirs = xyz - cam_center
+    dirs = xyz - cam_center[:, None]
     # safe normalization: sqrt(sum + eps) keeps the gradient finite for
     # degenerate (inactive, zero-positioned) surfels
-    dirs = dirs / jnp.sqrt(jnp.sum(dirs * dirs, axis=-1, keepdims=True) + 1e-12)
-    shs = jnp.swapaxes(params["shs"], -2, -1)  # (N, 3, K)
-    color = shlib.eval_sh(sh_degree, shs, dirs)
+    dirs = dirs / jnp.sqrt(dirs[0] ** 2 + dirs[1] ** 2 + dirs[2] ** 2 + 1e-12)
+    color = shlib.eval_sh_t(sh_degree, params["shs"], dirs)  # (3, N)
     color = jnp.maximum(color + 0.5, 0.0)  # 3DGS convention: SH + 0.5, clipped
 
-    normal_cam = params["normal"] @ R.T
+    normal_cam = R @ params["normal"]  # (3, N)
     # orient normals toward the camera (surfels are two-sided disks)
-    flip = jnp.sign(-jnp.sum(normal_cam * p_cam, axis=-1))
+    flip = jnp.sign(-jnp.sum(normal_cam * p_cam, axis=0))
     flip = jnp.where(flip == 0, 1.0, flip)
-    normal_cam = normal_cam * flip[:, None]
+    normal_cam = normal_cam * flip
 
     inb = (
         (z > NEAR_Z)
@@ -111,16 +113,16 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
         & (v - radius < height)
     )
     valid = inb & params["active"]
-    opacity = jnp.where(valid, params["opacity"][:, 0], 0.0)
+    opacity = jnp.where(valid, params["opacity"][0], 0.0)
 
     return ProjectedSurfels(
         mean2d=mean2d,
         depth=z,
         conic=conic,
         radius=jnp.where(valid, radius, 0.0),
-        color=color,
-        normal_cam=normal_cam,
-        p_cam=p_cam,
+        color=color.T,
+        normal_cam=normal_cam.T,
+        p_cam=p_cam.T,
         opacity=opacity,
         valid=valid,
     )

@@ -82,7 +82,8 @@ def make_sharded_fusion(mesh: Mesh, scfg, fusion_dist_thres: float):
     """Surfel-sharded fusion wrapper: the per-surfel gather/update shards over
     the surfel axis (frame maps replicated); XLA all-gathers only the small
     per-device stats."""
-    surf = NamedSharding(mesh, P("kf"))
+    # surfel axis is the TRAILING axis of the transposed (k, N) SoA
+    surf = NamedSharding(mesh, P(None, "kf"))
     repl = NamedSharding(mesh, P())
 
     @jax.jit

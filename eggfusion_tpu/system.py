@@ -262,14 +262,17 @@ class EGGFusion:
     def save_ply(self, path: str) -> None:
         s = self.mapper.surfels
         act = np.asarray(s.active)
+        # PLY is row-layout (N, k...); the SoA is transposed (k..., N) — a
+        # full axis reversal maps between them for every field rank
+        row = lambda x: np.asarray(x).T[act]
         plyio.save_ply(
             path,
-            np.asarray(s.xyz)[act],
-            np.asarray(s.features_dc)[act],
-            np.asarray(s.features_rest)[act],
-            np.asarray(s.scaling)[act],
-            np.asarray(s.rotation)[act],
-            np.asarray(s.opacity)[act],
+            row(s.xyz),
+            row(s.features_dc),
+            row(s.features_rest),
+            row(s.scaling),
+            row(s.rotation),
+            row(s.opacity),
         )
         print(f"Saved surfels to {path}")
 
@@ -320,7 +323,9 @@ class EGGFusion:
         n = min(n, s.capacity)
 
         def put(dst, src):
-            return dst.at[:n].set(jnp.asarray(src[:n], jnp.float32))
+            # PLY rows (n, k...) -> transposed SoA (k..., n) leading slots
+            # (full axis reversal, the inverse of save_ply's row())
+            return dst.at[..., :n].set(jnp.asarray(src[:n], jnp.float32).T)
 
         self.mapper.surfels = s.replace(
             xyz=put(s.xyz, data["xyz"]),

@@ -98,7 +98,7 @@ class TestFusion:
         assert int(stats.fused_pixels) == 0
         assert int(s2.observe_count[0]) == 0
         assert int(s2.error_count[0]) == 1
-        np.testing.assert_allclose(np.asarray(s2.xyz[0]), [0, 0, 2.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2.xyz[:, 0]), [0, 0, 2.0], atol=1e-6)
 
     def test_stable_surfel_geometry_locked(self):
         s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
@@ -106,7 +106,7 @@ class TestFusion:
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.02, 0.0, 2.0))
         s2, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
-        np.testing.assert_allclose(np.asarray(s2.xyz[0]), [0, 0, 2.0], atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2.xyz[:, 0]), [0, 0, 2.0], atol=1e-6)
         assert int(s2.observe_count[0]) == 1  # still counted
 
     def test_prune_unstable(self):
@@ -115,3 +115,31 @@ class TestFusion:
         s2 = fusion.prune_unstable(s, CFG, jnp.int32(5))
         assert not bool(s2.active[0])
         assert bool(s2.active[1])
+
+
+class TestFuseFrame:
+    def test_sort_winner_matches_imap_path(self):
+        """fuse_frame (sort-based winner) == fuse_surfels (z-buffer imap)."""
+        s = _map_with([[0.0, 0.0, 2.0], [0.02, 0.0, 2.0], [0.0, 0.0, 3.0],
+                       [0.5, 0.3, 1.5], [-0.4, -0.2, 2.5]],
+                      sigma2=[[1.0, 1.0]] * 5)
+        rng = np.random.default_rng(1)
+        vert = jnp.asarray(rng.uniform(-1, 1, (H, W, 3)).astype(np.float32)
+                           + np.array([0, 0, 2.0], np.float32))
+        nrm = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (H, W, 1))
+        col = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+        dep = jnp.asarray(rng.uniform(1.5, 2.5, (H, W, 1)).astype(np.float32))
+        geo = jnp.ones((H, W, 1), bool)
+        imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        sA, stA = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col,
+                                      dep, geo, dep, 0.2, CFG, jnp.int32(1))
+        sB, stB = fusion.fuse_frame(s, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.2, CFG)
+        assert int(stA.fused_pixels) == int(stB.fused_pixels)
+        np.testing.assert_allclose(np.asarray(sA.xyz), np.asarray(sB.xyz), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(sA.observe_count), np.asarray(sB.observe_count))
+
+    def test_winner_flags_nearest(self):
+        s = _map_with([[0.0, 0.0, 3.0], [0.0, 0.0, 1.5]])
+        winner, uc, vc = fusion.winner_flags(s.xyz, s.active, jnp.eye(4), INTR, W, H)
+        w = np.asarray(winner)
+        assert not w[0] and w[1]  # nearest wins

@@ -75,7 +75,7 @@ class TestCheckpoint:
     def test_roundtrip(self, tmp_path):
         cfg = sf.SurfelConfig(capacity=16, max_sh_degree=1)
         s = sf.SurfelMap.empty(cfg)
-        s = s.replace(xyz=s.xyz.at[0].set(jnp.asarray([1.0, 2.0, 3.0])), count=jnp.int32(1))
+        s = s.replace(xyz=s.xyz.at[:, 0].set(jnp.asarray([1.0, 2.0, 3.0])), count=jnp.int32(1))
         p = str(tmp_path / "ck.npz")
         ckpt.save_checkpoint(p, s, extra={"step": np.asarray(7)})
         s2, extra = ckpt.load_checkpoint(p)

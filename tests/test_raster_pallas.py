@@ -114,7 +114,7 @@ class TestGradParity:
         g = np.asarray(jax.grad(loss)(params["xyz"]))
         n_active = int(s.num_active())
         assert np.all(np.isfinite(g))
-        assert np.abs(g[n_active:]).sum() == 0.0
+        assert np.abs(g[:, n_active:]).sum() == 0.0
 
 
 class TestOcclusion:

@@ -116,8 +116,8 @@ class TestRenderXLA:
 
         g = jax.grad(loss_fn)(params["xyz"])
         assert np.all(np.isfinite(np.asarray(g)))
-        assert float(jnp.abs(g[0]).sum()) > 0  # active surfel gets gradient
-        assert float(jnp.abs(g[1:]).sum()) == 0  # inactive padding does not
+        assert float(jnp.abs(g[:, 0]).sum()) > 0  # active surfel gets gradient
+        assert float(jnp.abs(g[:, 1:]).sum()) == 0  # inactive padding does not
 
     def test_gradcheck_opacity(self):
         """Finite-difference check of d(loss)/d(opacity)."""

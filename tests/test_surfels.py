@@ -57,7 +57,7 @@ class TestAppend:
         b = _batch(16, seed=2)
         s = sf.SurfelMap.empty(_cfg())
         s = sf.append_surfels(s, b, jnp.int32(0), 0.99)
-        n_out = np.asarray(s.get_normal()[:16])
+        n_out = np.asarray(s.get_normal()[:, :16]).T
         n_in = np.asarray(b.normal)
         dots = np.sum(n_out * n_in, axis=-1)
         assert np.all(dots > 0.999)
@@ -66,11 +66,11 @@ class TestAppend:
         b = _batch(8, seed=3)
         s = sf.SurfelMap.empty(_cfg())
         s = sf.append_surfels(s, b, jnp.int32(0), 0.99)
-        np.testing.assert_allclose(np.asarray(s.get_color()[:8]), np.asarray(b.color), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s.get_color()[:, :8]).T, np.asarray(b.color), atol=1e-5)
 
     def test_opacity_activation(self):
         s = sf.append_surfels(sf.SurfelMap.empty(_cfg()), _batch(4), jnp.int32(0), 0.99)
-        np.testing.assert_allclose(np.asarray(s.get_opacity()[:4, 0]), 0.99, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s.get_opacity()[0, :4]), 0.99, atol=1e-5)
 
     def test_confidence_matches_reference_formula(self):
         b = _batch(6, seed=4)
@@ -86,12 +86,12 @@ class TestPruneCompact:
         kill = jnp.zeros(64, bool).at[jnp.asarray([0, 3, 5])].set(True)
         s = sf.prune_surfels(s, kill)
         assert int(s.num_active()) == 9
-        xyz_live = np.asarray(s.xyz[np.asarray(s.active)])
+        xyz_live = np.asarray(s.xyz).T[np.asarray(s.active)]
         s2 = sf.compact_surfels(s)
         assert int(s2.count) == 9
         assert bool(jnp.all(s2.active[:9]))
         assert not bool(jnp.any(s2.active[9:]))
-        np.testing.assert_allclose(np.sort(np.asarray(s2.xyz[:9]), 0), np.sort(xyz_live, 0), atol=1e-6)
+        np.testing.assert_allclose(np.sort(np.asarray(s2.xyz[:, :9]).T, 0), np.sort(xyz_live, 0), atol=1e-6)
 
     def test_append_after_compact(self):
         s = sf.append_surfels(sf.SurfelMap.empty(_cfg()), _batch(12), jnp.int32(0), 0.99)
@@ -118,7 +118,7 @@ class TestJit:
     def test_update_stability(self):
         s = sf.append_surfels(sf.SurfelMap.empty(_cfg()), _batch(8), jnp.int32(0), 0.99)
         # crank confidence on slot 0
-        s = s.replace(sigma2=s.sigma2.at[0].set(jnp.asarray([0.01, 0.01])))
+        s = s.replace(sigma2=s.sigma2.at[:, 0].set(0.01))
         s = sf.update_stability(s, threshold=10.0)
         assert bool(s.stable[0])
 
@@ -127,16 +127,16 @@ class TestGrow:
     def test_grow_preserves_content_and_extends(self):
         s = sf.SurfelMap.empty(_cfg(cap=64))
         s = sf.append_surfels(s, _batch(10), jnp.int32(0), 0.99)
-        xyz_before = np.asarray(s.xyz[:10])
+        xyz_before = np.asarray(s.xyz[:, :10])
         g = sf.grow_surfels(s, 128)
         assert g.capacity == 128
         assert int(g.count) == 10
         assert int(g.num_active()) == 10
-        np.testing.assert_array_equal(np.asarray(g.xyz[:10]), xyz_before)
+        np.testing.assert_array_equal(np.asarray(g.xyz[:, :10]), xyz_before)
         # padding slots are inert: inactive, identity-ish defaults
         assert not bool(np.asarray(g.active[64:]).any())
-        np.testing.assert_array_equal(np.asarray(g.rotation[64:, 0]), 1.0)
-        np.testing.assert_array_equal(np.asarray(g.sigma2[64:]), 1.0)
+        np.testing.assert_array_equal(np.asarray(g.rotation[0, 64:]), 1.0)
+        np.testing.assert_array_equal(np.asarray(g.sigma2[:, 64:]), 1.0)
         # appending continues at the watermark in the grown map
         g = sf.append_surfels(g, _batch(100, seed=1), jnp.int32(1), 0.99)
         assert int(g.count) == 110

@@ -1,5 +1,9 @@
 """Profile map_update internals: index-map scatter, fusion gather, spawn."""
+import sys
 import time
+
+sys.path.insert(0, ".")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
