@@ -51,19 +51,49 @@ def normal_from_vertex(vmap: jnp.ndarray) -> jnp.ndarray:
     n = normalize(cross(v[y+1]-v, v[x+1]-v)); last row/col reuse the center
     vertex (zero difference -> zero normal). Matches
     `compute_normal_map_kernel` (`tracking.cu:629-672`).
+
+    Channel-split internally: (H, W, 3) math uses 3/128 VPU lanes, so the
+    cross/normalize run on (H, W) planes and re-stack only at the end.
     """
-    v00 = vmap
-    v10 = jnp.concatenate([vmap[:, 1:], vmap[:, -1:]], axis=1)  # x+1 (clamped)
-    v01 = jnp.concatenate([vmap[1:, :], vmap[-1:, :]], axis=0)  # y+1 (clamped)
-    n = jnp.cross(v01 - v00, v10 - v00)
-    norm = jnp.linalg.norm(n, axis=-1, keepdims=True)
-    n = jnp.where(norm > 1e-12, n / jnp.maximum(norm, 1e-12), 0.0)
-    return n
+    ax, ay, az, bx, by, bz = _vertex_diff_planes(
+        vmap[..., 0], vmap[..., 1], vmap[..., 2]
+    )
+    return _cross_normalize_planes(ax, ay, az, bx, by, bz)
+
+
+def _vertex_diff_planes(X, Y, Z):
+    """Forward differences a = v[y+1]-v, b = v[x+1]-v as 6 (H, W) planes."""
+
+    def dx(p):
+        return jnp.concatenate([p[:, 1:], p[:, -1:]], axis=1) - p
+
+    def dy(p):
+        return jnp.concatenate([p[1:, :], p[-1:, :]], axis=0) - p
+
+    return dy(X), dy(Y), dy(Z), dx(X), dx(Y), dx(Z)
+
+
+def _cross_normalize_planes(ax, ay, az, bx, by, bz):
+    nx = ay * bz - az * by
+    ny = az * bx - ax * bz
+    nz = ax * by - ay * bx
+    norm = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+    scale = jnp.where(norm > 1e-12, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
+    return jnp.stack([nx * scale, ny * scale, nz * scale], axis=-1)
 
 
 def compute_vertex_and_normal(depth: jnp.ndarray, intr):
-    vmap = vertex_from_depth(depth, intr)
-    return vmap, normal_from_vertex(vmap)
+    """Vertex + normal maps from depth; all math on (H, W) planes (full VPU
+    lanes), stacked to (H, W, 3) only for the outputs."""
+    d = depth[..., 0] if depth.ndim == 3 else depth
+    H, W = d.shape
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    ys, xs = jnp.meshgrid(jnp.arange(H, dtype=d.dtype), jnp.arange(W, dtype=d.dtype), indexing="ij")
+    X = (xs - cx) * d / fx
+    Y = (ys - cy) * d / fy
+    vmap = jnp.stack([X, Y, d], axis=-1)
+    nmap = _cross_normalize_planes(*_vertex_diff_planes(X, Y, d))
+    return vmap, nmap
 
 
 # --- gradients ---------------------------------------------------------------
@@ -79,11 +109,19 @@ _SCHARR_Y = _SCHARR_X.T.copy()
 
 
 def _correlate3x3(img: jnp.ndarray, k: np.ndarray) -> jnp.ndarray:
-    """3x3 correlation with zero padding on a (H, W) image."""
-    x = img[None, None]  # NCHW
-    kern = jnp.asarray(k, dtype=img.dtype)[None, None]  # OIHW
-    out = lax.conv_general_dilated(x, kern, window_strides=(1, 1), padding=((1, 1), (1, 1)))
-    return out[0, 0]
+    """3x3 correlation with zero padding on a (H, W) image.
+
+    Shift-add instead of `lax.conv_general_dilated`: a 1-channel conv can't
+    use the MXU and lowers ~100x slower than this fused elementwise form.
+    """
+    H, W = img.shape
+    pad = jnp.pad(img, ((1, 1), (1, 1)))
+    out = jnp.zeros_like(img)
+    for dy in range(3):
+        for dx in range(3):
+            if k[dy, dx] != 0.0:
+                out = out + k[dy, dx] * lax.dynamic_slice(pad, (dy, dx), (H, W))
+    return out
 
 
 def scharr_gradient(img: jnp.ndarray):
@@ -107,17 +145,105 @@ _GAUSS5x5 = np.outer(_BINOMIAL5, _BINOMIAL5)
 def _conv2d_renorm(img: jnp.ndarray, kernel: np.ndarray, stride: int) -> jnp.ndarray:
     """Channel-wise 2D correlation with zero padding, renormalized by the sum
     of in-bounds weights (the CUDA kernels divide by the accumulated `count`,
-    e.g. `tracking.cu:549-574`). img: (H, W, C)."""
+    e.g. `tracking.cu:549-574`). img: (H, W, C).
+
+    All kernels used here are separable outer products (binomial, Gaussian),
+    and the in-bounds renormalizer of a separable kernel over an axis-aligned
+    border factorizes into row * column sums — so this runs as two shift-add
+    1D passes (full VPU lanes, fully fused) plus a broadcast renorm from tiny
+    trace-time numpy vectors. `lax.conv_general_dilated` with 1-3 channels
+    would bypass the MXU and run ~100x slower.
+    """
     H, W, C = img.shape
     kh, kw = kernel.shape
     ph, pw = kh // 2, kw // 2
-    x = jnp.moveaxis(img, -1, 0)[:, None]  # (C,1,H,W)
-    k = jnp.asarray(kernel, img.dtype)[None, None]
-    out = lax.conv_general_dilated(x, k, window_strides=(stride, stride), padding=((ph, ph), (pw, pw)))
-    ones = jnp.ones((1, 1, H, W), img.dtype)
-    norm = lax.conv_general_dilated(ones, k, window_strides=(stride, stride), padding=((ph, ph), (pw, pw)))
-    out = out / norm
-    return jnp.moveaxis(out[:, 0], 0, -1)
+    # exact separation: kernel == outer(ky, kx) for binomial/Gaussian kernels
+    ky = kernel[:, pw].astype(np.float64)
+    kx = kernel[ph, :].astype(np.float64) / float(kernel[ph, pw])
+    assert np.allclose(np.outer(ky, kx), kernel, rtol=1e-6), "kernel not separable"
+
+    def pass1d(x, taps, axis):
+        n = taps.shape[0]
+        r = n // 2
+        pad_width = [(0, 0)] * x.ndim
+        pad_width[axis] = (r, r)
+        pad = jnp.pad(x, pad_width)
+        out = jnp.zeros_like(x)
+        start = [0] * x.ndim
+        for d in range(n):
+            start[axis] = d
+            out = out + taps[d] * lax.dynamic_slice(pad, start, x.shape)
+        return out
+
+    if stride > 1:
+        # blur + decimate + renorm as TWO banded matmuls on the MXU:
+        # out = Dr @ img @ Dc^T with the in-bounds renorm folded into the
+        # rows of Dr/Dc. A strided slice x[::2, ::2] lowers to a gather on
+        # TPU (~2.3 ms per 0.2 MP channel); the matmul form is ~100x faster.
+        Dr = _decimation_matrix(H, ky, stride)
+        Dc = _decimation_matrix(W, kx, stride)
+        x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+        out = jnp.einsum("oh,chw->cow", jnp.asarray(Dr), x)
+        out = jnp.einsum("wv,cov->cow", jnp.asarray(Dc), out)
+        return jnp.moveaxis(out, 0, -1)
+
+    # channels to the FRONT: (H, W, C) with C minor uses C/128 VPU lanes
+    x = jnp.moveaxis(img, -1, 0)  # (C, H, W)
+    x = pass1d(x, ky.astype(np.float32), 1)
+    x = pass1d(x, kx.astype(np.float32), 2)
+
+    # in-bounds weight sums per row / column (numpy, trace-time constants)
+    ny = np.convolve(np.ones(H), ky[::-1], mode="same")
+    nx = np.convolve(np.ones(W), kx[::-1], mode="same")
+    inv = (1.0 / ny[:, None] / nx[None, :]).astype(np.float32)
+    x = x * jnp.asarray(inv)[None]
+    return jnp.moveaxis(x, 0, -1)
+
+
+@functools.lru_cache(maxsize=None)
+def _decimation_matrix_cached(n: int, taps_key, stride: int):
+    taps = np.asarray(taps_key, np.float64)
+    r = len(taps) // 2
+    no = -(-n // stride)  # ceil(n / stride): positions 0, stride, 2*stride, ...
+    D = np.zeros((no, n), np.float32)
+    for o in range(no):
+        c = o * stride
+        lo, hi = max(0, c - r), min(n, c + r + 1)
+        w = taps[lo - c + r : hi - c + r]
+        D[o, lo:hi] = w / w.sum()
+    return D
+
+
+def _decimation_matrix(n: int, taps: np.ndarray, stride: int) -> np.ndarray:
+    """(ceil(n/stride), n) banded blur+decimate matrix, rows renormalized by
+    the in-bounds weight sum (the reference kernels' `count` division)."""
+    return _decimation_matrix_cached(n, tuple(np.asarray(taps, np.float64).tolist()), stride)
+
+
+def decimate2d(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Exact x[::stride, ::stride] decimation of (H, W[, C]) via one-hot
+    selection matmuls on the MXU. A strided slice lowers to a gather on TPU
+    (~2.3 ms per 0.2 MP plane); this form is ~100x faster and bit-exact
+    (each output is 1.0 * input + zeros)."""
+    if stride == 1:
+        return x
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[..., None]
+    H, W, _ = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32) if dt in (jnp.bool_, jnp.int32) else x
+    Sr = jnp.asarray(_decimation_matrix(H, np.array([1.0]), stride))
+    Sc = jnp.asarray(_decimation_matrix(W, np.array([1.0]), stride))
+    xm = jnp.moveaxis(xf, -1, 0)  # (C, H, W)
+    out = jnp.einsum("oh,chw->cow", Sr, xm)
+    out = jnp.einsum("wv,cov->cow", Sc, out)
+    out = jnp.moveaxis(out, 0, -1)
+    if dt == jnp.bool_:
+        out = out > 0.5
+    elif dt == jnp.int32:
+        out = jnp.rint(out).astype(dt)
+    return out[..., 0] if squeeze else out
 
 
 def gaussian_downsample(img: jnp.ndarray) -> jnp.ndarray:

@@ -41,10 +41,11 @@ def sampling_pack(frame: PyramidLevel) -> jnp.ndarray:
 
     Channels 0..9 are [intensity, gx, gy, vertex(3), normal(3), mask] at
     pixel x; channels 10..19 are the same at pixel x+1 (zero past the last
-    column). Gather cost on v5e is ~5 ms per CALL at 225k indices and nearly
-    flat in channel count, so pairing each pixel with its x-neighbor lets
-    ONE row gather return two bilinear corners: all of an iteration's
-    resampling (4 bilinear corners + nearest) collapses from 5 gathers to 2.
+    column). Gather cost on v5e is per-CALL (index count), ~flat in channel
+    count UP TO a 20-channel row (a 40-channel row falls off the fast path,
+    measured 11 ms vs 1.4 ms per 225k-index gather) — so pairing each pixel
+    with its x-neighbor lets one row gather return two bilinear corners:
+    an iteration's resampling (4 bilinear corners + nearest) is 2 gathers.
 
     Built once per tracked frame (loop-invariant across GN iterations).
     """
@@ -191,7 +192,9 @@ def build_normal_equations(
       RGB  — grid bound 0.90, frame gradient magnitude > 1 at the ORIGINAL
              pixel (reference quirk), model mask, warped frame mask > 0.8.
     """
-    sl = (lambda x: x[::stride, ::stride]) if stride > 1 else (lambda x: x)
+    from eggfusion_tpu.ops.image import decimate2d
+
+    sl = (lambda x: decimate2d(x, stride)) if stride > 1 else (lambda x: x)
     m_disp = sl(model.disp)
     m_vert = sl(model.vertex)
     m_norm = sl(model.normal)
