@@ -316,7 +316,8 @@ class Mapping:
             depth = frame_map["depth_map"]
             stats = None
             if not first:
-                model = render_at(sf.render_params(s), w2c, intr, width, height)
+                model = render_at(sf.render_params(s), w2c, intr, width, height,
+                                  geom_only=True)
                 s, stats = fusion.fuse_frame(
                     s, w2c, intr,
                     frame_map["vertex_map_w"], frame_map["normal_map_w"],

@@ -46,14 +46,21 @@ class Renderer:
         """Render `params` from `frame`'s current pose estimate."""
         return self.render_at(params, frame.w2c_matrix(), frame.intr, frame.width, frame.height)
 
-    def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None) -> dict:
+    def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None,
+                  geom_only: bool = False) -> dict:
+        """`geom_only=True` returns only {depth, opacity} — the fusion/spawn
+        render (`mapper.map_update`) reads nothing else, and the Pallas
+        backend then skips SH + color/normal compositing."""
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
             return render_pallas(params, w2c, intr, width, height,
                                  sh_degree=self.active_sh_degree, cap=self.raster_cap,
-                                 binning=cache)
-        return render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
+                                 binning=cache, geom_only=geom_only)
+        out = render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
+        if geom_only:
+            return {"depth": out["depth"], "opacity": out["opacity"]}
+        return out
 
     def precompute_cache(self, params: dict, w2c, intr, width: int, height: int):
         """Per-camera render cache (tile binning), reusable across a few

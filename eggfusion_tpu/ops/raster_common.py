@@ -40,7 +40,7 @@ class ProjectedSurfels(NamedTuple):
 
 
 def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
-                    sh_degree: int = 3) -> ProjectedSurfels:
+                    sh_degree: int = 3, need_color: bool = True) -> ProjectedSurfels:
     """Project surfels into a pinhole camera.
 
     params: TRANSPOSED (k, N) dict from `core.surfels.render_params`. All
@@ -90,14 +90,17 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
     lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
     radius = 3.0 * jnp.sqrt(lam)
 
-    # view-dependent color
-    cam_center = -(R.T @ t)
-    dirs = xyz - cam_center[:, None]
-    # safe normalization: sqrt(sum + eps) keeps the gradient finite for
-    # degenerate (inactive, zero-positioned) surfels
-    dirs = dirs / jnp.sqrt(dirs[0] ** 2 + dirs[1] ** 2 + dirs[2] ** 2 + 1e-12)
-    color = shlib.eval_sh_t(sh_degree, params["shs"], dirs)  # (3, N)
-    color = jnp.maximum(color + 0.5, 0.0)  # 3DGS convention: SH + 0.5, clipped
+    if need_color:
+        # view-dependent color
+        cam_center = -(R.T @ t)
+        dirs = xyz - cam_center[:, None]
+        # safe normalization: sqrt(sum + eps) keeps the gradient finite for
+        # degenerate (inactive, zero-positioned) surfels
+        dirs = dirs / jnp.sqrt(dirs[0] ** 2 + dirs[1] ** 2 + dirs[2] ** 2 + 1e-12)
+        color = shlib.eval_sh_t(sh_degree, params["shs"], dirs)  # (3, N)
+        color = jnp.maximum(color + 0.5, 0.0)  # 3DGS convention: SH + 0.5, clipped
+    else:  # geometry-only render: skip the SH evaluation entirely
+        color = jnp.zeros_like(xyz)
 
     normal_cam = R @ params["normal"]  # (3, N)
     # orient normals toward the camera (surfels are two-sided disks)

@@ -136,15 +136,25 @@ def _entry_zpx(ch, rx, ry):
 # --------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool):
+def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool, geom: bool = False):
     """Forward compositor; with `checkpoint`, also emits the per-chunk
     transmittance checkpoints the backward kernel needs (so the backward
     skips its whole phase-1 forward recompute — ~1 MB/tile of HBM traffic
-    instead of a second alpha sweep over every entry)."""
+    instead of a second alpha sweep over every entry).
+
+    `geom` composites only depth + opacity (no color/normal accumulation) —
+    the per-frame fusion/spawn render (`core.mapper.map_update`) reads only
+    those two channels, and dropping the other six halves the per-entry
+    FMA work."""
     n_chunks_max = cap // CHUNK
 
-    def kernel(counts_ref, intr_ref, entries_ref, rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref,
-               *ckpt_refs):
+    def kernel(counts_ref, intr_ref, entries_ref, *out_refs):
+        if geom:
+            dep_ref, opa_ref, T_ref = out_refs[:3]
+            ckpt_refs = out_refs[3:]
+        else:
+            rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref = out_refs[:5]
+            ckpt_refs = out_refs[5:]
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
@@ -165,7 +175,10 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool):
             return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
 
         def body(carry):
-            i, r, g, b, nx, ny, nz, dep, opa, T = carry
+            if geom:
+                i, dep, opa, T = carry
+            else:
+                i, r, g, b, nx, ny, nz, dep, opa, T = carry
             if checkpoint:
                 ckpt_refs[0][0, pl.ds(i * TILE_H, TILE_H), :] = T
             ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
@@ -173,26 +186,33 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool):
                 alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
                 z_px, _, _, _ = _entry_zpx(ch[k], rx, ry)
                 w = T * alpha
-                r = r + w * ch[k, A_R]
-                g = g + w * ch[k, A_G]
-                b = b + w * ch[k, A_B]
-                nx = nx + w * ch[k, A_NX]
-                ny = ny + w * ch[k, A_NY]
-                nz = nz + w * ch[k, A_NZ]
+                if not geom:
+                    r = r + w * ch[k, A_R]
+                    g = g + w * ch[k, A_G]
+                    b = b + w * ch[k, A_B]
+                    nx = nx + w * ch[k, A_NX]
+                    ny = ny + w * ch[k, A_NY]
+                    nz = nz + w * ch[k, A_NZ]
                 dep = dep + w * z_px
                 opa = opa + w
                 T = T * (1.0 - alpha)
+            if geom:
+                return (i + 1, dep, opa, T)
             return (i + 1, r, g, b, nx, ny, nz, dep, opa, T)
 
-        init = (jnp.int32(0), zero, zero, zero, zero, zero, zero, zero, zero, jnp.ones_like(zero))
-        _, r, g, b, nx, ny, nz, dep, opa, T = jax.lax.while_loop(cond, body, init)
+        if geom:
+            init = (jnp.int32(0), zero, zero, jnp.ones_like(zero))
+            _, dep, opa, T = jax.lax.while_loop(cond, body, init)
+        else:
+            init = (jnp.int32(0), zero, zero, zero, zero, zero, zero, zero, zero, jnp.ones_like(zero))
+            _, r, g, b, nx, ny, nz, dep, opa, T = jax.lax.while_loop(cond, body, init)
+            rgb_ref[0, :, :] = r
+            rgb_ref[1, :, :] = g
+            rgb_ref[2, :, :] = b
+            nrm_ref[0, :, :] = nx
+            nrm_ref[1, :, :] = ny
+            nrm_ref[2, :, :] = nz
 
-        rgb_ref[0, :, :] = r
-        rgb_ref[1, :, :] = g
-        rgb_ref[2, :, :] = b
-        nrm_ref[0, :, :] = nx
-        nrm_ref[1, :, :] = ny
-        nrm_ref[2, :, :] = nz
         dep_ref[:, :] = dep
         opa_ref[:, :] = opa
         T_ref[:, :] = T
@@ -352,6 +372,25 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 # --------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # --------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_geom_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
+    """Forward-only depth+opacity compositor (no VJP, no color/normal)."""
+    tx_tiles = wp // TILE_W
+    img = lambda: jax.ShapeDtypeStruct((hp, wp), jnp.float32)
+    blk1 = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda t: (t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
+    counts_spec = pl.BlockSpec((n_tiles, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _make_fwd_kernel(tx_tiles, cap, checkpoint=False, geom=True),
+        grid=(n_tiles,),
+        in_specs=[counts_spec, intr_spec, entries_spec],
+        out_specs=(blk1(), blk1(), blk1()),
+        out_shape=(img(), img(), img()),
+        interpret=interpret,
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -579,17 +618,18 @@ def compute_binning(params: dict, w2c, intr, width: int, height: int, cap: int =
     return Binning(entry_sid, counts, back_map)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret", "geom_only"))
 def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
                        sh_degree: int, cap: int, interpret: bool,
-                       binning: Binning | None = None) -> dict:
+                       binning: Binning | None = None, geom_only: bool = False) -> dict:
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
     tx_tiles = wp // TILE_W
     ty_tiles = hp // TILE_H
     n_tiles = tx_tiles * ty_tiles
 
-    proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree)
+    proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree,
+                              need_color=not geom_only)
 
     if binning is not None:
         entry_sid, counts, back_map = binning
@@ -621,6 +661,14 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
     entry_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts
     entries = entries.at[..., A_VAL].set(entry_valid.astype(jnp.float32))
 
+    if geom_only:
+        composite = _make_geom_composite(hp, wp, cap, n_tiles, interpret)
+        dep, opa, _T = composite(counts, intr.astype(jnp.float32).reshape(1, 4), entries)
+        dep = dep[:height, :width]
+        opa = opa[:height, :width]
+        wsum = jnp.maximum(opa, 1e-6)
+        return {"depth": (dep / wsum)[..., None], "opacity": opa[..., None]}
+
     composite = _make_composite(hp, wp, cap, n_tiles, interpret)
     rgb, nrm, dep, opa, _T = composite(entries, counts, intr.astype(jnp.float32))
 
@@ -644,13 +692,16 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
 
 def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
                   sh_degree: int = 3, cap: int = 512, interpret: bool | None = None,
-                  binning: Binning | None = None) -> dict:
+                  binning: Binning | None = None, geom_only: bool = False) -> dict:
     """Render surfels to (H, W, *) color/normal/depth/opacity maps.
 
     Drop-in for `raster_xla.render_xla`; same output dict and normalization.
     Pass a `Binning` from `compute_binning` to reuse tile assignments across
-    several optimization steps on the same camera.
+    several optimization steps on the same camera. `geom_only=True` returns
+    only {depth, opacity} and skips SH + color/normal compositing (the
+    fusion/spawn render needs nothing else).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret, binning)
+    return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret,
+                              binning, geom_only)

@@ -15,8 +15,14 @@ sys.path.insert(0, ".")
 
 
 def t(fn, n=5):
+    import os
+
     import jax
 
+    if os.environ.get("PROF_DEVTIME"):
+        from tools.devtime import device_time_ms
+
+        return device_time_ms(fn, n=n)
     out = fn()
     jax.block_until_ready(out)
     t0 = time.perf_counter()

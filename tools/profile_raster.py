@@ -49,12 +49,12 @@ def main():
     nrm = np.tile(np.array([0, 0, -1.0], np.float32), (N, 1))
     pad = CAPACITY - N
     params = {
-        "xyz": jnp.asarray(np.concatenate([xyz, np.zeros((pad, 3))]), jnp.float32),
-        "opacity": jnp.full((CAPACITY, 1), 0.95),
-        "scales": jnp.full((CAPACITY, 3), 0.006).at[:, 2].set(1e-13),
-        "rotations": jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (CAPACITY, 1)),
-        "normal": jnp.asarray(np.concatenate([nrm, np.tile([[0, 0, 1.0]], (pad, 1))]), jnp.float32),
-        "shs": jnp.asarray(rng.uniform(size=(CAPACITY, 1, 3)), jnp.float32),
+        "xyz": jnp.asarray(np.concatenate([xyz, np.zeros((pad, 3))]).T, jnp.float32),
+        "opacity": jnp.full((1, CAPACITY), 0.95),
+        "scales": jnp.full((3, CAPACITY), 0.006).at[2, :].set(1e-13),
+        "rotations": jnp.tile(jnp.asarray([[1.0], [0], [0], [0]]), (1, CAPACITY)),
+        "normal": jnp.asarray(np.concatenate([nrm, np.tile([[0, 0, 1.0]], (pad, 1))]).T, jnp.float32),
+        "shs": jnp.asarray(rng.uniform(size=(3, 1, CAPACITY)), jnp.float32),
         "radius": jnp.full((CAPACITY,), 4.0),
         "active": jnp.arange(CAPACITY) < N,
     }
