@@ -117,6 +117,7 @@ DEFAULTS = {
         "rgb_weight": 1.0e-4,
         "use_sparse": False,
         "use_motion_model": True,
+        "motion_damping": 0.5,
         "residual_thres": 0.01,
         "dx_threshold": 0.001,
         "check_keyframe_R": 20,
@@ -151,6 +152,7 @@ DEFAULTS = {
         "reg_weight": 10.0,
         "reg_weight_n": 1.0,
         "fusion_dist_thres": 0.03,
+        "opt_tile_fraction": 1.0,
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
         "background": [1.0, 1.0, 1.0],

@@ -57,6 +57,13 @@ class MapperConfig(NamedTuple):
     spawn_cap: int = 32768
     spawn_cap_init: int = 262144
     border_pad: int = 7
+    # stochastic tile-subset map optimization (Pallas backend only): each
+    # Adam step renders + backprops a random `opt_tile_fraction` subset of
+    # the compositor tiles. The masked-mean gradient over the subset is an
+    # unbiased estimator of the full-image gradient, and compositor cost
+    # (fwd + bwd kernels) scales with the fraction. 1.0 = exact reference
+    # behavior (every pixel, every step).
+    opt_tile_fraction: float = 1.0
 
 
 OPT_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
@@ -101,15 +108,21 @@ def _safe_norm(x, axis=None, eps=1e-12):
     return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
 
 
-def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig):
+def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig,
+                 pix_mask: jnp.ndarray | None = None):
     """Mapping loss (reference `compute_loss`, `mapper.py:381-444`):
     masked L1 color + L1 depth + (1 - cosine) normal + drift regularizer
-    against the detached round-start geometry."""
+    against the detached round-start geometry.
+
+    `pix_mask` ((H, W) bool) restricts the image terms to the pixels a
+    tile-subset render actually composited."""
     est_color = render_out["color"]
     est_depth = render_out["depth"]
     est_normal = render_out["normal"]
 
     mask = (kf["rgb_mask"] & kf["geo_mask"])[..., 0]  # (H, W)
+    if pix_mask is not None:
+        mask = mask & pix_mask
     m3 = mask[..., None]
 
     color_loss = _masked_mean(jnp.abs(kf["color"] - est_color), m3)
@@ -250,6 +263,7 @@ class Mapping:
             state_threshold=float(m.state_threshold),
             spawn_cap=min(int(H * W * float(m.sample_ratio) * 2.0) + 256, H * W),
             spawn_cap_init=min(int(H * W * float(m.sample_ratio_init) * 1.5) + 256, H * W),
+            opt_tile_fraction=float(m.get("opt_tile_fraction", 1.0)),
         )
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
@@ -278,6 +292,16 @@ class Mapping:
 
         self.renderer = renderer
         self.keyframe_manager = KeyFrameManager(cfg)
+        # postprocess thresholds (static): the fused map-update program also
+        # emits the next frame's tracking model map (see `map_update`)
+        self._system_cfg = {
+            "reco_normal_thres": float(cfg.System.reco_normal_threshold),
+            "reco_depth_thres": float(cfg.System.reco_depth_threshold),
+            "reco_opacity_thres": float(cfg.System.reco_opacity_threshold),
+            "depth_min": float(cfg.System.depth_range_min),
+            "depth_max": float(cfg.System.depth_range_max),
+            "nlevel": int(cfg.Tracking.pyramid_level),
+        }
         # capacity bucketing: start in a small bucket and grow geometrically
         # (see `sf.grow_surfels`). Per-frame program cost then tracks the
         # actual map size instead of the configured maximum.
@@ -303,32 +327,64 @@ class Mapping:
         render_at = self.renderer.render_at
         sh_degree = self.renderer.active_sh_degree
 
+        sys_cfg = self._system_cfg
+
         # donate_argnums: the surfel SoA is tens of MB at production capacity;
         # donating lets XLA update it in place instead of copying the
         # pass-through fields every call.
-        @functools.partial(jax.jit, static_argnames=("width", "height", "first"),
+        @functools.partial(jax.jit, static_argnames=("width", "height", "first", "full_post"),
                            donate_argnums=(0,))
         def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, root_key,
-                       width: int, height: int, first: bool):
+                       width: int, height: int, first: bool, full_post: bool):
             """Per-frame map update (reference `surfels_preprocess`,
-            `mapper.py:242-324`): fuse then spawn."""
+            `mapper.py:242-324`): fuse then spawn.
+
+            Deviation from the reference's render schedule (documented): the
+            reference renders the model TWICE per frame — once pre-fusion for
+            the spawn mask (`mapper.py:260-264`) and once post-update for the
+            next frame's tracking view (`system.py:55`). Here fusion is
+            render-free (gather-form, `ops.fusion.fuse_frame`), so ONE
+            post-fusion render serves both: with `full_post`, the same render
+            also produces the postprocess model map (`postprocess_model_map`).
+            Spawn regions fail its opacity gate (< reco_opacity_threshold)
+            either way and fall back to frame pixels — exactly the values
+            just-spawned surfels would render to. On sliding-window
+            optimization frames the caller passes `full_post=False` (the
+            model map must be re-rendered AFTER the optimization to match
+            the reference, so the spawn render stays geometry-only)."""
+            from eggfusion_tpu.system import postprocess_model_map
+
             key = jax.random.fold_in(root_key, time)  # per-frame key, in-program
             depth = frame_map["depth_map"]
             stats = None
+            model_map = None
             if not first:
-                model = render_at(sf.render_params(s), w2c, intr, width, height,
-                                  geom_only=True)
                 s, stats = fusion.fuse_frame(
                     s, w2c, intr,
                     frame_map["vertex_map_w"], frame_map["normal_map_w"],
                     frame_map["color_map"], depth, frame_map["geo_mask"],
                     mcfg.fusion_dist_thres, scfg,
                 )
+                model = render_at(sf.render_params(s), w2c, intr, width, height,
+                                  geom_only=not full_post, need_grad=False)
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
                 depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)
                 sample_mask = (opacity_mask | (depth_err > mcfg.add_depth_thres)) & (depth > 0)
                 ratio = mcfg.sample_ratio
                 cap = mcfg.spawn_cap
+                if full_post:
+                    rendered = {
+                        "render_color": model["color"],
+                        "render_depth": model["depth"],
+                        "render_normal": model["normal"],
+                        "render_opacity": model["opacity"],
+                    }
+                    model_map = postprocess_model_map(
+                        rendered, frame_map, intr, w2c,
+                        sys_cfg["reco_normal_thres"], sys_cfg["reco_depth_thres"],
+                        sys_cfg["reco_opacity_thres"], sys_cfg["depth_min"],
+                        sys_cfg["depth_max"], sys_cfg["nlevel"],
+                    )
             else:
                 sample_mask = depth > 0
                 ratio = mcfg.sample_ratio_init
@@ -339,11 +395,17 @@ class Mapping:
             )
             s = sf.append_surfels(s, batch, time, scfg.init_opacity)
             s = sf.update_stability(s, mcfg.stable_confidence)
-            return s, stats
+            return s, model_map, stats
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def render_model(s: sf.SurfelMap, w2c, intr, width: int, height: int):
-            return render_at(sf.render_params(s), w2c, intr, width, height)
+            return render_at(sf.render_params(s), w2c, intr, width, height,
+                             need_grad=False)
+
+        use_tile_subset = (
+            mcfg.opt_tile_fraction < 1.0 and self.renderer.backend == "pallas"
+        )
+        tile_rng = jax.random.PRNGKey(0x7115)
 
         @functools.partial(jax.jit, static_argnames=("width", "height"),
                            donate_argnums=(0, 1))
@@ -358,10 +420,20 @@ class Mapping:
             stay valid across the few steps run on one keyframe."""
             params = {k: getattr(s, k) for k in OPT_FIELDS}
 
+            tile_keep = pix_mask = None
+            if use_tile_subset:
+                from eggfusion_tpu.ops import raster_pallas as rp
+
+                key = jax.random.fold_in(tile_rng, step)
+                nt = rp.n_tiles_static(width, height)
+                tile_keep = jax.random.uniform(key, (nt,)) < mcfg.opt_tile_fraction
+                pix_mask = rp.tile_pixel_mask(tile_keep, width, height)
+
             def loss_fn(p):
                 s2 = s.replace(**p)
-                out = render_at(sf.render_params(s2), w2c, intr, width, height, cache=cache)
-                return compute_loss(out, kf, s2, geo_snapshot, mcfg)
+                out = render_at(sf.render_params(s2), w2c, intr, width, height,
+                                cache=cache, tile_keep=tile_keep)
+                return compute_loss(out, kf, s2, geo_snapshot, mcfg, pix_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             new_params, moments = _adam_update(params, grads, moments, step, lrs)
@@ -445,15 +517,22 @@ class Mapping:
         if cap_needed > self.surfels.capacity:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
 
-    def mapping(self, frame, frame_map: dict) -> None:
+    def mapping(self, frame, frame_map: dict) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
-        `mapper.py:180-195`)."""
+        `mapper.py:180-195`).
+
+        Returns the postprocess model map when this frame's map update could
+        produce it fused (non-optimization frames); None on sliding-window
+        optimization frames, where the caller must render it AFTER the
+        optimization (reference ordering, `system.py:47-49`)."""
         first = self.time == 0
+        opt_frame = self.time % self.mcfg.sw_optimize_freq == 0
         if self.bucketing:
             self._ensure_capacity(first)
-        self.surfels, _ = self._map_update(
+        self.surfels, model_map, _ = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
+            not opt_frame,
         )
         if self.bucketing:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
@@ -468,11 +547,12 @@ class Mapping:
             self.keyframe_manager.sliding_window.append(
                 KeyFrame(frame, frame_map, self.time, -1, self.keyframe_manager.storage)
             )
-        if self.time % self.mcfg.sw_optimize_freq == 0:
+        if opt_frame:
             self.keyframe_manager.check_keyframe(frame, frame_map, self.time)
             self.frame_batch_optimization(frame)
 
         self.time += 1
+        return model_map
 
     def get_render_output(self, frame) -> dict:
         """Render the current model from a frame's pose (reference

@@ -47,16 +47,20 @@ class Renderer:
         return self.render_at(params, frame.w2c_matrix(), frame.intr, frame.width, frame.height)
 
     def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None,
-                  geom_only: bool = False) -> dict:
+                  geom_only: bool = False, need_grad: bool = True,
+                  tile_keep=None) -> dict:
         """`geom_only=True` returns only {depth, opacity} — the fusion/spawn
         render (`mapper.map_update`) reads nothing else, and the Pallas
-        backend then skips SH + color/normal compositing."""
+        backend then skips SH + color/normal compositing. `need_grad=False`
+        (forward-only renders) skips the gradient back-map sort. `tile_keep`
+        (Pallas only) composites a tile subset — stochastic map optimization."""
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
             return render_pallas(params, w2c, intr, width, height,
                                  sh_degree=self.active_sh_degree, cap=self.raster_cap,
-                                 binning=cache, geom_only=geom_only)
+                                 binning=cache, geom_only=geom_only,
+                                 need_grad=need_grad, tile_keep=tile_keep)
         out = render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
         if geom_only:
             return {"depth": out["depth"], "opacity": out["opacity"]}

@@ -102,17 +102,27 @@ class SyntheticSequence(NamedTuple):
 def make_trajectory(n_frames: int = 30, translation_scale: float = 0.015, rotation_scale: float = 0.004) -> np.ndarray:
     """Smooth sway trajectory: (N, 4, 4) w2c poses, frame 0 = identity.
 
-    Motion magnitudes mimic a 30 fps handheld camera (sub-cm / sub-half-degree
-    per frame), matching the regime the reference's GN tracker expects.
+    Motion magnitudes mimic a 30 fps handheld camera (cm-scale / sub-degree
+    per frame), matching the regime the reference's GN tracker expects, and
+    are INDEPENDENT of sequence length: the sway phase advances at a fixed
+    per-frame rate (120-frame period) and the amplitude envelope saturates
+    (tanh) at ~20x the per-frame scale. The earlier parameterization (one
+    sway cycle over the whole sequence, linearly growing amplitude) made the
+    per-frame delta scale with sequence length — past ~4 cm / frame no
+    frame-to-model dense tracker (reference included) survives without an
+    external pose seed, so 60-frame runs diverged near the tail by
+    construction rather than by regression.
     """
     poses = []
+    i_sat = 20.0
+    om = 2 * math.pi / 120.0  # sway angular rate per frame (120-frame period)
     for i in range(n_frames):
-        s = i / max(1, n_frames - 1)
-        tx = translation_scale * i * math.sin(0.5 + 2 * math.pi * s)
-        ty = 0.5 * translation_scale * i * math.sin(4 * math.pi * s)
-        tz = -0.8 * translation_scale * i
-        wy = rotation_scale * i * math.sin(2 * math.pi * s + 0.3)
-        wx = 0.5 * rotation_scale * i * math.cos(2 * math.pi * s)
+        ei = i_sat * math.tanh(i / i_sat)  # saturating sway envelope
+        tx = translation_scale * ei * math.sin(0.5 + om * i)
+        ty = 0.5 * translation_scale * ei * math.sin(2 * om * i)
+        tz = -0.8 * translation_scale * ei
+        wy = rotation_scale * ei * math.sin(om * i + 0.3)
+        wx = 0.5 * rotation_scale * ei * math.cos(om * i)
         cy_, sy_ = math.cos(wy), math.sin(wy)
         cx_, sx_ = math.cos(wx), math.sin(wx)
         Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])

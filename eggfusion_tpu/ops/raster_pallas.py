@@ -22,10 +22,12 @@ the classic splatting pipeline, re-shaped for TPU:
      processing entries in 8-row chunks (one VMEM row-block load + static
      unroll amortizes the dynamic-slice overhead), with early exit when the
      whole block's transmittance saturates.
-  6. custom VJP: the vjp-forward writes per-chunk transmittance checkpoints
-     as an extra output (~1 MB/tile of HBM — cheaper than the backward
-     re-sweeping every entry's alpha); the backward walks chunks in reverse
-     carrying suffix accumulators — the d(out)/d(alpha_i) =
+  6. custom VJP: the backward kernel first re-sweeps alphas forward, writing
+     per-chunk transmittance checkpoints to a VMEM scratch buffer (~1 MB —
+     never touches HBM; an earlier revision stored them as a forward output,
+     paying a ~220 MB HBM round trip per render at 220 tiles, measurably
+     slower than the ~6 ms alpha-only recompute), then walks chunks in
+     reverse carrying suffix accumulators — the d(out)/d(alpha_i) =
      T_i c_i - S_i/(1-alpha_i) recurrence of the 3DGS backward, done per
      4096-pixel vector block instead of per CUDA thread. Per-entry
      transmittances are recomputed forward from the exact chunk checkpoint,
@@ -136,11 +138,8 @@ def _entry_zpx(ch, rx, ry):
 # --------------------------------------------------------------------------
 
 
-def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool, geom: bool = False):
-    """Forward compositor; with `checkpoint`, also emits the per-chunk
-    transmittance checkpoints the backward kernel needs (so the backward
-    skips its whole phase-1 forward recompute — ~1 MB/tile of HBM traffic
-    instead of a second alpha sweep over every entry).
+def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
+    """Forward compositor.
 
     `geom` composites only depth + opacity (no color/normal accumulation) —
     the per-frame fusion/spawn render (`core.mapper.map_update`) reads only
@@ -151,20 +150,13 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool, geom: bool = Fal
     def kernel(counts_ref, intr_ref, entries_ref, *out_refs):
         if geom:
             dep_ref, opa_ref, T_ref = out_refs[:3]
-            ckpt_refs = out_refs[3:]
         else:
             rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref = out_refs[:5]
-            ckpt_refs = out_refs[5:]
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         count = jnp.minimum(counts_ref[t, 0], cap)
         n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
-
-        if checkpoint:
-            # zero-fill so the backward can detect early-exited (unwritten)
-            # chunks: written checkpoints always have max T > STOP_EPS
-            ckpt_refs[0][0, :, :] = jnp.zeros((n_chunks_max * TILE_H, TILE_W), jnp.float32)
 
         # chunked: one (CHUNK, 16) row-block load + static unroll per chunk
         # amortizes the dynamic-slice / scalar-extract overhead 8x vs a
@@ -179,8 +171,6 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, checkpoint: bool, geom: bool = Fal
                 i, dep, opa, T = carry
             else:
                 i, r, g, b, nx, ny, nz, dep, opa, T = carry
-            if checkpoint:
-                ckpt_refs[0][0, pl.ds(i * TILE_H, TILE_H), :] = T
             ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
             for k in range(CHUNK):
                 alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
@@ -231,9 +221,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
     def kernel(
         counts_ref, intr_ref, entries_ref,
         g_rgb_ref, g_nrm_ref, g_dep_ref, g_opa_ref, g_T_ref,
-        T_ckpt,  # (1, (cap//CHUNK)*TILE_H, TILE_W) — written by the vjp-forward
         T_fin_ref,  # final transmittance (the forward's 5th output)
         dent_ref,
+        T_ckpt,  # VMEM scratch: (n_chunks_max*TILE_H, TILE_W) chunk-start T
     ):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
@@ -243,15 +233,29 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
         dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
 
-        # ---- phase 0: recover how many chunks the forward actually ran -----
-        # The vjp-forward zero-fills unwritten (early-exited) chunk slots and
-        # only writes a checkpoint when max(T) > STOP_EPS held, so the first
-        # all-<=-STOP_EPS slot marks the forward's stopping point.
-        def cond0(i):
-            Tc = T_ckpt[0, pl.ds(i * TILE_H, TILE_H), :]
-            return (i < n_chunks) & (jnp.max(Tc) > STOP_EPS)
+        # ---- phase 1: alpha-only forward re-sweep -> VMEM checkpoints ------
+        # Same loop structure (incl. the early-exit predicate) as the forward
+        # kernel, so `n_done` and every chunk-start T match the forward run
+        # bit-for-bit. ~1 MB of scratch; never touches HBM (an earlier
+        # revision shipped these checkpoints through a forward output, a
+        # ~220 MB HBM round trip per render at 220 tiles — slower than this
+        # recompute, which is alpha-only: no channel accumulation).
+        def cond1(carry):
+            i, T = carry
+            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
 
-        n_done = jax.lax.while_loop(cond0, lambda i: i + 1, jnp.int32(0))
+        def body1(carry):
+            i, T = carry
+            T_ckpt[pl.ds(i * TILE_H, TILE_H), :] = T
+            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
+            for k in range(CHUNK):
+                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
+                T = T * (1.0 - alpha)
+            return i + 1, T
+
+        n_done, _ = jax.lax.while_loop(
+            cond1, body1, (jnp.int32(0), jnp.ones((TILE_H, TILE_W), jnp.float32))
+        )
         T_fin = T_fin_ref[:, :]
 
         g_r = g_rgb_ref[0, :, :]
@@ -264,14 +268,23 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         g_opa = g_opa_ref[:, :]
         g_T = g_T_ref[:, :]
 
-        # ---- phase 2: reverse chunk walk with suffix accumulators ----------
+        # ---- phase 2: reverse chunk walk with ONE suffix accumulator --------
         # Within each chunk the per-entry transmittances are recomputed
         # forward from the exact checkpoint — no 1/(1-alpha) rollback at all.
-        # suffix S_c = sum_{j > i} w_j c_j  (per output channel, per pixel)
+        #
+        # The 3DGS backward carries one suffix image per output channel
+        # (S_c = sum_{j>k} w_j c_j) and combines them as
+        # galpha = sum_c g_c (T_k c_k - S_c/(1-a)). But S_c only ever appears
+        # through B = sum_c g_c S_c, and B updates with the SAME per-entry
+        # scalar combination A_k = sum_c g_c c_k that galpha needs anyway:
+        #     galpha_k = T_k A_k - B/(1-a_k);   B += w_k A_k.
+        # One suffix image + 1 FMA replace eight suffix images, eight FMA
+        # updates and the nine-term recombination — ~35% fewer VPU ops per
+        # entry-pixel in the hot reverse sweep.
         def body2(carry):
-            ci, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So = carry
+            ci, B = carry
             ch = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
-            Tc = T_ckpt[0, pl.ds(ci * TILE_H, TILE_H), :]
+            Tc = T_ckpt[pl.ds(ci * TILE_H, TILE_H), :]
 
             alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], []
             T = Tc
@@ -287,7 +300,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 alpha = alphas[k]
                 Tk = Ts[k]
                 w = Tk * alpha
-                one_m = 1.0 - alpha
+                inv1m = 1.0 / (1.0 - alpha)
                 z_px = zpxs[k]
                 denom_safe, pn, use_plane = zaux[k]
                 chk = ch[k]
@@ -295,17 +308,13 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 cr, cg, cb = chk[A_R], chk[A_G], chk[A_B]
                 nxs, nys, nzs = chk[A_NX], chk[A_NY], chk[A_NZ]
 
-                galpha = (
-                    g_r * (Tk * cr - Sr / one_m)
-                    + g_g * (Tk * cg - Sg / one_m)
-                    + g_b * (Tk * cb - Sb / one_m)
-                    + g_nx * (Tk * nxs - Snx / one_m)
-                    + g_ny * (Tk * nys - Sny / one_m)
-                    + g_nz * (Tk * nzs - Snz / one_m)
-                    + g_dep * (Tk * z_px - Sd / one_m)
-                    + g_opa * (Tk - So / one_m)
-                    - g_T * T_fin / one_m
+                # A_k = sum_c g_c * c_k (opacity channel c = 1, depth c = z_px)
+                A = (
+                    g_r * cr + g_g * cg + g_b * cb
+                    + g_nx * nxs + g_ny * nys + g_nz * nzs
+                    + g_opa + g_dep * z_px
                 )
+                galpha = Tk * A - B * inv1m
                 # alpha gates: clamped at MAX_ALPHA or below ALPHA_EPS -> 0
                 live = (alpha > 0.0) & (raws[k] < rc.MAX_ALPHA)
                 galpha = jnp.where(live, galpha, 0.0)
@@ -328,8 +337,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
                 # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
                 gz = g_dep * w
-                g_pn = jnp.where(use_plane, gz / denom_safe, 0.0)
-                g_den = jnp.where(use_plane, -gz * pn / (denom_safe * denom_safe), 0.0)
+                rden = jnp.where(use_plane, 1.0 / denom_safe, 0.0)
+                g_pn = gz * rden
+                g_den = -g_pn * pn * rden
                 gz_fb = jnp.where(use_plane, 0.0, gz)
 
                 g_nx_e = jnp.sum(g_nx * w + g_pn * chk[A_PX] + g_den * rx)
@@ -346,25 +356,17 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                     )
                 )
 
-                Sr = Sr + w * cr
-                Sg = Sg + w * cg
-                Sb = Sb + w * cb
-                Snx = Snx + w * nxs
-                Sny = Sny + w * nys
-                Snz = Snz + w * nzs
-                Sd = Sd + w * z_px
-                So = So + w
+                B = B + w * A
 
             dent_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.stack(grows[::-1], axis=0)
-            return (ci - 1, Sr, Sg, Sb, Snx, Sny, Snz, Sd, So)
+            return (ci - 1, B)
 
         def cond2(carry):
             return carry[0] >= 0
 
-        jax.lax.while_loop(
-            cond2, body2,
-            (n_done - 1, zero, zero, zero, zero, zero, zero, zero, zero),
-        )
+        # suffix init: the g_T cotangent enters every galpha as
+        # -g_T*T_fin/(1-a) — exactly a B seeded with g_T*T_fin
+        jax.lax.while_loop(cond2, body2, (n_done - 1, g_T * T_fin))
 
     return kernel
 
@@ -384,7 +386,7 @@ def _make_geom_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bo
     intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
     entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _make_fwd_kernel(tx_tiles, cap, checkpoint=False, geom=True),
+        _make_fwd_kernel(tx_tiles, cap, geom=True),
         grid=(n_tiles,),
         in_specs=[counts_spec, intr_spec, entries_spec],
         out_specs=(blk1(), blk1(), blk1()),
@@ -404,12 +406,8 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
     intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
     entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
 
-    ckpt_h = (cap // CHUNK) * TILE_H
-    ckpt_spec = pl.BlockSpec((1, ckpt_h, TILE_W), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
-    ckpt_shape = jax.ShapeDtypeStruct((n_tiles, ckpt_h, TILE_W), jnp.float32)
-
     fwd_call = pl.pallas_call(
-        _make_fwd_kernel(tx_tiles, cap, checkpoint=False),
+        _make_fwd_kernel(tx_tiles, cap),
         grid=(n_tiles,),
         in_specs=[counts_spec, intr_spec, entries_spec],
         out_specs=(blk3(), blk3(), blk1(), blk1(), blk1()),
@@ -417,25 +415,16 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         interpret=interpret,
     )
 
-    # vjp-forward: same compositor, plus per-chunk T checkpoints as a 6th
-    # output (residual for the backward — trades ~1 MB/tile of HBM for the
-    # backward's whole phase-1 alpha resweep)
-    fwd_ckpt_call = pl.pallas_call(
-        _make_fwd_kernel(tx_tiles, cap, checkpoint=True),
-        grid=(n_tiles,),
-        in_specs=[counts_spec, intr_spec, entries_spec],
-        out_specs=(blk3(), blk3(), blk1(), blk1(), blk1(), ckpt_spec),
-        out_shape=(img(3), img(3), img(0), img(0), img(0), ckpt_shape),
-        interpret=interpret,
-    )
-
+    # backward: per-chunk T checkpoints live in a ~1 MB VMEM scratch, rebuilt
+    # by an alpha-only phase-1 re-sweep inside the kernel (see module notes)
     bwd_call = pl.pallas_call(
         _make_bwd_kernel(tx_tiles, cap),
         grid=(n_tiles,),
         in_specs=[counts_spec, intr_spec, entries_spec, blk3(), blk3(), blk1(), blk1(), blk1(),
-                  ckpt_spec, blk1()],
+                  blk1()],
         out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
+        scratch_shapes=[pltpu.VMEM(((cap // CHUNK) * TILE_H, TILE_W), jnp.float32)],
         interpret=interpret,
     )
 
@@ -444,15 +433,15 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         return fwd_call(counts, intr.reshape(1, 4), entries)
 
     def composite_fwd(entries, counts, intr):
-        rgb, nrm, dep, opa, T, T_ckpt = fwd_ckpt_call(counts, intr.reshape(1, 4), entries)
-        return (rgb, nrm, dep, opa, T), (entries, counts, intr, T_ckpt, T)
+        rgb, nrm, dep, opa, T = fwd_call(counts, intr.reshape(1, 4), entries)
+        return (rgb, nrm, dep, opa, T), (entries, counts, intr, T)
 
     def composite_bwd(res, cots):
-        entries, counts, intr, T_ckpt, T_fin = res
+        entries, counts, intr, T_fin = res
         g_rgb, g_nrm, g_dep, g_opa, g_T = cots
         d_entries = bwd_call(
             counts, intr.reshape(1, 4), entries, g_rgb, g_nrm, g_dep, g_opa, g_T,
-            T_ckpt, T_fin,
+            T_fin,
         )
         zero_i = np.zeros(counts.shape, jax.dtypes.float0)
         return d_entries, zero_i, jnp.zeros_like(intr)
@@ -470,7 +459,8 @@ DEPTH_BITS = 21
 DEPTH_FAR = 120.0  # quantization range upper bound (m)
 
 
-def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap):
+def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
+                 need_back: bool = True):
     """Fixed-window tile binning via ONE fused (tile, depth) radix key.
 
     The CUDA rasterizer builds 64-bit keys (tile << 32 | float_bits(depth))
@@ -487,7 +477,9 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap)
                  the exact inverse of the expansion: the custom-VJP backward
                  gathers through it instead of letting XLA emit a serialized
                  scatter-add transpose (the TPU-killer of naive autodiff
-                 through the gather).
+                 through the gather). `need_back=False` (forward-only
+                 renders) skips the inverse sort that builds it (~1/2 of the
+                 binning sort cost) and returns None.
     """
     n = mean2d.shape[0]
     u = mean2d[:, 0]
@@ -530,6 +522,9 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap)
 
     pos = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
     entry_sid = sorted_sid[jnp.clip(pos, 0, nk - 1)]
+
+    if not need_back:
+        return entry_sid, counts[:, None], None
 
     # Per-sorted-position tile slot WITHOUT gathering starts per candidate
     # (starts[tile_of_candidate] is an N*K random gather from a tiny table —
@@ -601,6 +596,25 @@ class Binning(NamedTuple):
     back_map: jnp.ndarray  # (N, K) i32
 
 
+def n_tiles_static(width: int, height: int) -> int:
+    """Number of compositor tiles for an image size (static)."""
+    return _cdiv(width, TILE_W) * _cdiv(height, TILE_H)
+
+
+def tile_pixel_mask(keep: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
+    """Expand a per-tile keep mask (n_tiles,) to a per-pixel (H, W) bool mask.
+
+    Matches the tile layout of the compositor (row-major over the padded
+    image). Used by tile-subset stochastic map optimization: the loss must
+    only read pixels of tiles that were actually composited.
+    """
+    tx = _cdiv(width, TILE_W)
+    ty = _cdiv(height, TILE_H)
+    m = keep.reshape(ty, 1, tx, 1)
+    m = jnp.broadcast_to(m, (ty, TILE_H, tx, TILE_W)).reshape(ty * TILE_H, tx * TILE_W)
+    return m[:height, :width]
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "cap"))
 def compute_binning(params: dict, w2c, intr, width: int, height: int, cap: int = 512) -> Binning:
     """Standalone tile binning for `render_pallas(..., binning=...)`."""
@@ -618,10 +632,11 @@ def compute_binning(params: dict, w2c, intr, width: int, height: int, cap: int =
     return Binning(entry_sid, counts, back_map)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret", "geom_only"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret", "geom_only", "need_grad"))
 def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
                        sh_degree: int, cap: int, interpret: bool,
-                       binning: Binning | None = None, geom_only: bool = False) -> dict:
+                       binning: Binning | None = None, geom_only: bool = False,
+                       need_grad: bool = True, tile_keep: jnp.ndarray | None = None) -> dict:
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
     tx_tiles = wp // TILE_W
@@ -640,6 +655,7 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
             jax.lax.stop_gradient(proj.radius),
             proj.valid,
             n_tiles, tx_tiles, ty_tiles, cap,
+            need_back=need_grad and not geom_only,
         )
 
     attrs = jnp.concatenate(
@@ -655,7 +671,17 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
         axis=-1,
     )  # (N, 16)
 
-    entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
+    if tile_keep is not None:
+        # tile-subset render (stochastic map optimization): dropped tiles get
+        # count 0 — their compositor instances exit immediately (forward AND
+        # backward), so the kernel cost scales with the kept fraction. Their
+        # pixels come back zero; pair with `tile_pixel_mask` in the loss.
+        counts = jnp.where(tile_keep[:, None], counts, 0)
+
+    if back_map is None:  # forward-only render: plain gather, no custom VJP
+        entries = attrs[entry_sid]
+    else:
+        entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
     # rows past a tile's count can be read by its LAST 8-entry chunk: zero
     # their A_VAL so their alpha vanishes (other lanes can stay garbage)
     entry_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts
@@ -692,16 +718,20 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
 
 def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
                   sh_degree: int = 3, cap: int = 512, interpret: bool | None = None,
-                  binning: Binning | None = None, geom_only: bool = False) -> dict:
+                  binning: Binning | None = None, geom_only: bool = False,
+                  need_grad: bool = True, tile_keep: jnp.ndarray | None = None) -> dict:
     """Render surfels to (H, W, *) color/normal/depth/opacity maps.
 
     Drop-in for `raster_xla.render_xla`; same output dict and normalization.
     Pass a `Binning` from `compute_binning` to reuse tile assignments across
     several optimization steps on the same camera. `geom_only=True` returns
     only {depth, opacity} and skips SH + color/normal compositing (the
-    fusion/spawn render needs nothing else).
+    fusion/spawn render needs nothing else). `need_grad=False` (forward-only
+    renders: tracking model views, fusion/spawn) skips building the
+    gradient back-map — one of the two N*K-key binning sorts. `tile_keep`
+    ((n_tiles,) bool) composites only the kept tiles (see `tile_pixel_mask`).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret,
-                              binning, geom_only)
+                              binning, geom_only, need_grad, tile_keep)

@@ -150,7 +150,8 @@ class EGGFusion:
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def render_postprocess(s, frame_map: dict, w2c, intr, width: int, height: int):
-            out = render_at(_sf.render_params(s), w2c, intr, width, height)
+            out = render_at(_sf.render_params(s), w2c, intr, width, height,
+                            need_grad=False)
             rendered = {
                 "render_color": out["color"],
                 "render_depth": out["depth"],
@@ -195,9 +196,15 @@ class EGGFusion:
         self.tracker.tracking(frame, self.model_map)
         t1 = _time.perf_counter()
         self.preprocess(frame)
-        self.mapper.mapping(frame, self.frame_map)
+        model_map = self.mapper.mapping(frame, self.frame_map)
         t2 = _time.perf_counter()
-        self.postprocess(frame)
+        if model_map is not None:
+            # fused path: the map update already rendered + postprocessed
+            self.model_map = model_map
+        else:
+            # optimization frame: render AFTER the window optimization so the
+            # next frame tracks against the refined map (reference ordering)
+            self.postprocess(frame)
         t3 = _time.perf_counter()
         self.append_trajectory(frame)
         # surfel count stays a device scalar — no per-frame host readback

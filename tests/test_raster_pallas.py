@@ -195,3 +195,54 @@ class TestCapacityOverflow:
         np.testing.assert_allclose(
             np.asarray(out_cut["color"][cy, cx]), np.asarray(out_full["color"][cy, cx]), atol=1e-4
         )
+
+
+class TestTileSubset:
+    """Tile-subset rendering (stochastic map optimization)."""
+
+    def test_keep_all_matches_full(self, scene):
+        _, params, _, out_p = scene
+        from eggfusion_tpu.ops.raster_pallas import n_tiles_static
+
+        keep = jnp.ones((n_tiles_static(W, H),), bool)
+        out_k = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=CAP,
+                              tile_keep=keep)
+        for k in ("color", "depth", "normal", "opacity"):
+            np.testing.assert_allclose(np.asarray(out_k[k]), np.asarray(out_p[k]), atol=1e-6)
+
+    def test_dropped_tiles_render_zero_and_kept_match(self, scene):
+        _, params, _, out_p = scene
+        from eggfusion_tpu.ops.raster_pallas import n_tiles_static, tile_pixel_mask
+
+        nt = n_tiles_static(W, H)
+        keep = jnp.asarray(np.arange(nt) % 2 == 0)
+        out_k = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=CAP,
+                              tile_keep=keep)
+        pm = np.asarray(tile_pixel_mask(keep, W, H))
+        assert pm.shape == (H, W)
+        # kept pixels identical to the full render; dropped pixels zero
+        np.testing.assert_allclose(
+            np.asarray(out_k["color"])[pm], np.asarray(out_p["color"])[pm], atol=1e-6
+        )
+        assert np.abs(np.asarray(out_k["opacity"])[~pm]).max() == 0.0
+
+    def test_subset_gradients_match_masked_full(self, scene):
+        """d/dp [masked loss over kept pixels] must be identical whether the
+        dropped tiles were composited or not."""
+        _, params, _, _ = scene
+        from eggfusion_tpu.ops.raster_pallas import n_tiles_static, tile_pixel_mask
+
+        nt = n_tiles_static(W, H)
+        keep = jnp.asarray(np.arange(nt) % 2 == 0)
+        pm = tile_pixel_mask(keep, W, H)[..., None]
+
+        def loss(xyz, tk):
+            p = dict(params)
+            p["xyz"] = xyz
+            o = render_pallas(p, jnp.eye(4), INTR, W, H, sh_degree=0, cap=CAP,
+                              tile_keep=tk)
+            return jnp.sum(jnp.where(pm, jnp.abs(o["color"] - 0.3), 0.0))
+
+        g_sub = np.asarray(jax.grad(loss)(params["xyz"], keep))
+        g_full = np.asarray(jax.grad(loss)(params["xyz"], None))
+        np.testing.assert_allclose(g_sub, g_full, atol=1e-5)

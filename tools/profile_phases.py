@@ -108,13 +108,16 @@ def main():
 
     # --- map update (fusion + spawn; no donation here so time w/ copy) ----
     if want("map"):
-        def map_upd():
-            s2, _ = mp._map_update(
-                jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, 'dtype') else x, s),
-                fm, w2c, intr, jnp.int32(mp.time), mp._rng, W, H, False)
-            return s2.count
+        def map_upd(full_post):
+            def f():
+                s2, _, _ = mp._map_update(
+                    jax.tree_util.tree_map(lambda x: x + 0 if hasattr(x, 'dtype') else x, s),
+                    fm, w2c, intr, jnp.int32(mp.time), mp._rng, W, H, False, full_post)
+                return s2.count
+            return f
 
-        print(f"map_update(+copy):  {t(map_upd):7.1f} ms")
+        print(f"map_update(+copy):  {t(map_upd(False)):7.1f} ms")
+        print(f"map+post (+copy):   {t(map_upd(True)):7.1f} ms")
 
     # --- render + postprocess ---------------------------------------------
     if want("post"):
