@@ -80,12 +80,17 @@ def main() -> None:
 
     jax.block_until_ready(ef.mapper.surfels.xyz)
     t0 = time.perf_counter()
+    per_frame = []
     for fid in range(n_warm, n_warm + n_frames):
+        tf = time.perf_counter()
         ef.reconstruct(build_frame(dataset, fid, False))
         jax.block_until_ready(ef.mapper.surfels.count)
+        per_frame.append((time.perf_counter() - tf) * 1e3)
     jax.block_until_ready(ef.mapper.surfels.xyz)
     wall = time.perf_counter() - t0
     log(f"[bench] {n_frames} timed frames in {wall:.1f}s")
+    log("[bench] per-frame ms: " + " ".join(f"{t:.0f}" for t in per_frame))
+    log(f"[bench] surfels at end: {int(ef.mapper.surfels.num_active())}")
 
     fps = n_frames / wall
     print(

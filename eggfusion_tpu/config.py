@@ -152,7 +152,7 @@ DEFAULTS = {
         "reg_weight": 10.0,
         "reg_weight_n": 1.0,
         "fusion_dist_thres": 0.03,
-        "opt_tile_fraction": 1.0,
+        "opt_tile_fraction": 0.5,
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
         "background": [1.0, 1.0, 1.0],

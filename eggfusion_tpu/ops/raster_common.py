@@ -28,13 +28,20 @@ MAX_ALPHA = 0.99
 
 
 class ProjectedSurfels(NamedTuple):
-    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    """TRANSPOSED (k, N) per-surfel screen-space quantities.
+
+    Keeping the surfel axis on TPU lanes end-to-end matters: an earlier
+    revision emitted ROW (N, k) fields, and the ~6 (k, N)->(N, k) relayouts
+    made the projection alone cost 8.2 ms at 600k capacity on v5e — the
+    rasterizers now do ONE transpose of the final packed attribute block."""
+
+    mean2d: jnp.ndarray  # (2, N) pixel coords (u; v)
     depth: jnp.ndarray  # (N,) view-space z of the center
-    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c): [[a, b], [b, c]]
+    conic: jnp.ndarray  # (3, N) inverse 2D covariance (a, b, c): [[a, b], [b, c]]
     radius: jnp.ndarray  # (N,) screen-space 3-sigma radius in pixels
-    color: jnp.ndarray  # (N, 3) view-dependent RGB
-    normal_cam: jnp.ndarray  # (N, 3) camera-frame unit normal
-    p_cam: jnp.ndarray  # (N, 3) camera-frame center
+    color: jnp.ndarray  # (3, N) view-dependent RGB
+    normal_cam: jnp.ndarray  # (3, N) camera-frame unit normal
+    p_cam: jnp.ndarray  # (3, N) camera-frame center
     opacity: jnp.ndarray  # (N,) activated opacity (0 for culled/inactive)
     valid: jnp.ndarray  # (N,) bool
 
@@ -45,9 +52,8 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
 
     params: TRANSPOSED (k, N) dict from `core.surfels.render_params`. All
     per-surfel math is componentwise on (N,) rows (full TPU lane width);
-    rigid transforms are (3, 3) @ (3, N) MXU matmuls. Outputs are ROW layout
-    (N, k) — the rasterizers' depth-sort / tile-binning gathers want
-    contiguous per-surfel rows, and the trailing stacks are cheap.
+    rigid transforms are (3, 3) @ (3, N) MXU matmuls. Outputs stay
+    TRANSPOSED (k, N) — see `ProjectedSurfels`.
     """
     xyz = params["xyz"]  # (3, N)
     R = w2c[:3, :3]
@@ -59,7 +65,7 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
     z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
     u = fx * px / z_safe + cx
     v = fy * py / z_safe + cy
-    mean2d = jnp.stack([u, v], axis=-1)
+    mean2d = jnp.stack([u, v], axis=0)  # (2, N)
 
     # tangent disk axes in camera frame: columns 0/1 of R(q), scaled
     Rs = tf.build_rotation_t(params["rotations"])  # (3, 3, N)
@@ -83,7 +89,7 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
     cyy = ay * ay + by * by + LOWPASS
     det = cxx * cyy - cxy * cxy
     det = jnp.maximum(det, 1e-12)
-    conic = jnp.stack([cyy / det, -cxy / det, cxx / det], axis=-1)
+    conic = jnp.stack([cyy / det, -cxy / det, cxx / det], axis=0)  # (3, N)
 
     # 3-sigma screen radius from the largest eigenvalue
     mid = 0.5 * (cxx + cyy)
@@ -123,9 +129,9 @@ def project_surfels(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: in
         depth=z,
         conic=conic,
         radius=jnp.where(valid, radius, 0.0),
-        color=color.T,
-        normal_cam=normal_cam.T,
-        p_cam=p_cam.T,
+        color=color,
+        normal_cam=normal_cam,
+        p_cam=p_cam,
         opacity=opacity,
         valid=valid,
     )

@@ -481,9 +481,9 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
                  renders) skips the inverse sort that builds it (~1/2 of the
                  binning sort cost) and returns None.
     """
-    n = mean2d.shape[0]
-    u = mean2d[:, 0]
-    v = mean2d[:, 1]
+    n = mean2d.shape[-1]
+    u = mean2d[0]
+    v = mean2d[1]
     r = radius
     ry = jnp.minimum(r, BIN_RADIUS_MAX_Y)  # keep the y-span within KY rows
     tx0 = jnp.clip(jnp.floor((u - r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
@@ -658,18 +658,20 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
             need_back=need_grad and not geom_only,
         )
 
+    # pack transposed (16, N), then ONE (16, N) -> (N, 16) relayout — the
+    # only row-layout boundary left (the per-tile slab gather wants rows)
     attrs = jnp.concatenate(
         [
-            proj.mean2d,  # u, v
-            proj.conic,  # a, b, c
-            proj.opacity[:, None],
+            proj.mean2d,  # u, v (2, N)
+            proj.conic,  # a, b, c (3, N)
+            proj.opacity[None],
             proj.color,
             proj.normal_cam,
             proj.p_cam,
-            jnp.ones((proj.mean2d.shape[0], 1), jnp.float32),  # val (masked below)
+            jnp.ones((1, proj.mean2d.shape[-1]), jnp.float32),  # val (masked below)
         ],
-        axis=-1,
-    )  # (N, 16)
+        axis=0,
+    ).T  # (N, 16)
 
     if tile_keep is not None:
         # tile-subset render (stochastic map optimization): dropped tiles get

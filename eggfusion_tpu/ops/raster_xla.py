@@ -40,11 +40,13 @@ def render_xla(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, he
             x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
         return x.reshape(-1, chunk, *x.shape[1:])
 
-    mean2d = take(proj.mean2d)
-    conic = take(proj.conic)
-    color = take(proj.color)
-    normal = take(proj.normal_cam)
-    p_cam = take(proj.p_cam)
+    # projection is transposed (k, N); this oracle path works in rows (its
+    # cost is the O(N*H*W) blend, the transposes are noise)
+    mean2d = take(proj.mean2d.T)
+    conic = take(proj.conic.T)
+    color = take(proj.color.T)
+    normal = take(proj.normal_cam.T)
+    p_cam = take(proj.p_cam.T)
     opacity = take(proj.opacity)
     radius = take(proj.radius)
 

@@ -35,7 +35,7 @@ class TestProjection:
     def test_center_projection(self):
         params, _ = _single_surfel_params()
         proj = rc.project_surfels(params, jnp.eye(4), INTR, W, H, sh_degree=0)
-        np.testing.assert_allclose(np.asarray(proj.mean2d[0]), [W / 2 - 0.5, H / 2 - 0.5], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(proj.mean2d[:, 0]), [W / 2 - 0.5, H / 2 - 0.5], atol=1e-4)
         assert float(proj.depth[0]) == 2.0
         assert bool(proj.valid[0])
         assert not bool(proj.valid[1])  # padding inactive
@@ -48,7 +48,7 @@ class TestProjection:
     def test_normal_faces_camera(self):
         params, _ = _single_surfel_params(normal=(0.0, 0.0, 1.0))  # away from cam
         proj = rc.project_surfels(params, jnp.eye(4), INTR, W, H, sh_degree=0)
-        assert float(proj.normal_cam[0, 2]) < 0  # flipped toward camera
+        assert float(proj.normal_cam[2, 0]) < 0  # flipped toward camera
 
 
 class TestRenderXLA:
