@@ -116,7 +116,10 @@ def run_multichip_dryrun(n_devices: int) -> None:
 
     rng = np.random.default_rng(0)
     n_sf = 128
-    xyz = np.concatenate([rng.uniform(-0.5, 0.5, (n_sf, 2)), rng.uniform(1.5, 2.5, (n_sf, 1))], -1)
+    # seed surfels ON the measured surface (the frame below observes a z=2.0
+    # plane with a 0.1 m association gate) so the sharded fusion path has
+    # real work to do and the fused>0 assertion is meaningful
+    xyz = np.concatenate([rng.uniform(-0.5, 0.5, (n_sf, 2)), rng.uniform(1.98, 2.02, (n_sf, 1))], -1)
     nrm = np.tile(np.array([0.0, 0.0, -1.0]), (n_sf, 1)).astype(np.float32)
     lam = np.full((n_sf, 2), 4.0, np.float32)
     batch = sf.SpawnBatch(
@@ -160,5 +163,9 @@ def run_multichip_dryrun(n_devices: int) -> None:
     s, stats = fuse(s, imap, jnp.eye(4), intr, vert, nrmm, kf_batch["color"][0], kf_batch["depth"][0],
                     kf_batch["geo_mask"][0], kf_batch["depth"][0], jnp.int32(1))
     jax.block_until_ready(s.xyz)
-    print(f"multichip dryrun ok on {n_devices} devices: loss={float(loss):.4f}, "
-          f"fused={int(stats.fused_pixels)}")
+    fused = int(stats.fused_pixels)
+    assert fused > 0, (
+        "sharded fusion associated zero pixels — the dryrun seeds surfels on "
+        "the measured surface, so fused must be nonzero"
+    )
+    print(f"multichip dryrun ok on {n_devices} devices: loss={float(loss):.4f}, fused={fused}")
