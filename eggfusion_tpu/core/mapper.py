@@ -57,12 +57,24 @@ class MapperConfig(NamedTuple):
     spawn_cap: int = 32768
     spawn_cap_init: int = 262144
     border_pad: int = 7
+    # live map maintenance (the working equivalent of the reference's dead
+    # `merge_surfels` stable/unstable intent, `mapper.py:326-334,508-563`):
+    # every `prune_freq` frames cull error-dominated / stale-unstable surfels
+    # (`fusion.prune_unstable`), then compact the SoA when the fragmentation
+    # (watermark - active) exceeds `compact_frag` of capacity so freed slots
+    # are reused by later spawns. 0 disables.
+    prune_freq: int = 30
+    prune_max_age: int = 30
+    compact_frag: float = 0.125
     # stochastic tile-subset map optimization (Pallas backend only): each
     # Adam step renders + backprops a random `opt_tile_fraction` subset of
     # the compositor tiles. The masked-mean gradient over the subset is an
-    # unbiased estimator of the full-image gradient, and compositor cost
-    # (fwd + bwd kernels) scales with the fraction. 1.0 = exact reference
-    # behavior (every pixel, every step).
+    # approximately unbiased estimator of the full-image gradient (a ratio
+    # estimator — it divides by the random subset's mask count), and
+    # compositor cost (fwd + bwd kernels) scales with the fraction.
+    # The dataclass default stays 1.0 = exact reference behavior (every
+    # pixel, every step); the YAML/config layer owns the production value
+    # (configs/base.yaml sets 0.5).
     opt_tile_fraction: float = 1.0
 
 
@@ -149,6 +161,11 @@ def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict
         + mcfg.reg_weight * reg_loss
     )
     return total
+
+
+# slot reclamation: one argsort + gather over the SoA; donated so XLA can
+# write the compacted fields in place of the old buffers
+_compact_jit = jax.jit(sf.compact_surfels, donate_argnums=(0,))
 
 
 @jax.jit
@@ -264,6 +281,9 @@ class Mapping:
             spawn_cap=min(int(H * W * float(m.sample_ratio) * 2.0) + 256, H * W),
             spawn_cap_init=min(int(H * W * float(m.sample_ratio_init) * 1.5) + 256, H * W),
             opt_tile_fraction=float(m.get("opt_tile_fraction", 1.0)),
+            prune_freq=int(m.get("prune_freq", 30)),
+            prune_max_age=int(m.get("prune_max_age", 30)),
+            compact_frag=float(m.get("compact_frag", 0.125)),
         )
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
@@ -543,6 +563,9 @@ class Mapping:
             except Exception:
                 pass
 
+        if self.mcfg.prune_freq > 0 and self.time > 0 and self.time % self.mcfg.prune_freq == 0:
+            self.maintain_map()
+
         if self.time % self.mcfg.sw_add_freq == 0:
             self.keyframe_manager.sliding_window.append(
                 KeyFrame(frame, frame_map, self.time, -1, self.keyframe_manager.storage)
@@ -553,6 +576,24 @@ class Mapping:
 
         self.time += 1
         return model_map
+
+    def maintain_map(self) -> None:
+        """Live map-size management (VERDICT r1 #3): cull error-dominated and
+        stale unstable surfels, then compact the SoA when fragmentation
+        (watermark minus active count) exceeds `compact_frag` of capacity so
+        later spawns reuse the freed slots. Runs every `prune_freq` frames —
+        the two host scalar syncs here are once per maintenance period, not
+        per frame."""
+        self.surfels = fusion.prune_unstable(
+            self.surfels, self.scfg, jnp.int32(self.time), self.mcfg.prune_max_age
+        )
+        count = int(np.asarray(self.surfels.count))
+        n_active = int(np.asarray(self.surfels.num_active()))
+        if count - n_active > self.mcfg.compact_frag * self.surfels.capacity:
+            self.surfels = _compact_jit(self.surfels)
+            count = n_active
+        self._known_count = count
+        self._count_ref = None
 
     def get_render_output(self, frame) -> dict:
         """Render the current model from a frame's pose (reference

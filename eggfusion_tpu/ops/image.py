@@ -2,8 +2,8 @@
 `cuda_tracking_ext` (`/root/reference/src/utils/cuda/src/tracking.cu`).
 
 All functions are pure jnp, jit-friendly (static shapes), and vectorize onto
-the TPU VPU via XLA. The bilateral filter additionally has a Pallas path
-(see `eggfusion_tpu.ops.pallas_image`) used on TPU for the large level-0 pass.
+the TPU VPU via XLA (the separable/shift-add decompositions below were chosen
+over hand-written Pallas kernels after profiling — XLA fuses them well).
 
 Correspondence to the reference kernels:
   vertex_from_depth / normal_from_vertex  <- compute_vertex_and_normal_cuda

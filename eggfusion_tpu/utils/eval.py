@@ -87,6 +87,54 @@ def ssim(est: np.ndarray, ref: np.ndarray) -> float:
     return float(m.mean())
 
 
+def ms_ssim(est: np.ndarray, ref: np.ndarray, levels: int = 5) -> float:
+    """Multi-scale SSIM (Wang et al. 2003) — the reference's published render
+    metric (`eval_utils.py:105`, pytorch_msssim). Standard weights; each level
+    contributes contrast*structure, the final level adds luminance; scales are
+    built by 2x2 average-pool downsampling. Falls back to fewer levels when
+    the image is too small for the 11x11 window."""
+    from scipy.ndimage import gaussian_filter
+
+    weights = np.asarray([0.0448, 0.2856, 0.3001, 0.2363, 0.1333], np.float64)[:levels]
+    C1, C2 = 0.01**2, 0.03**2
+    sig = 1.5
+
+    est = np.asarray(est, np.float64)
+    ref = np.asarray(ref, np.float64)
+
+    def f(x):
+        return gaussian_filter(x, sigma=(sig, sig, 0) if x.ndim == 3 else sig)
+
+    def cs_and_ssim(a, b):
+        mu1, mu2 = f(a), f(b)
+        mu1s, mu2s, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+        s1 = f(a * a) - mu1s
+        s2 = f(b * b) - mu2s
+        s12 = f(a * b) - mu12
+        cs = (2 * s12 + C2) / (s1 + s2 + C2)
+        lum = (2 * mu12 + C1) / (mu1s + mu2s + C1)
+        return float(cs.mean()), float((lum * cs).mean())
+
+    def pool(x):
+        h, w = x.shape[0] // 2 * 2, x.shape[1] // 2 * 2
+        x = x[:h, :w]
+        return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2] + x[0::2, 1::2] + x[1::2, 1::2])
+
+    vals = []
+    a, b = est, ref
+    for li in range(len(weights)):
+        if min(a.shape[0], a.shape[1]) < 11:
+            break
+        cs, ss = cs_and_ssim(a, b)
+        vals.append(max(ss if li == len(weights) - 1 else cs, 1e-12))
+        if li < len(weights) - 1:
+            a, b = pool(a), pool(b)
+    if not vals:
+        return ssim(est, ref)
+    w = weights[: len(vals)] / weights[: len(vals)].sum()
+    return float(np.prod(np.asarray(vals) ** w))
+
+
 def depth_l1(est: np.ndarray, ref: np.ndarray, mask: np.ndarray | None = None) -> float:
     est = np.asarray(est, np.float64).squeeze()
     ref = np.asarray(ref, np.float64).squeeze()
@@ -108,6 +156,7 @@ def eval_render(ref_color, ref_depth, est_color, est_depth) -> dict:
     out = {
         "psnr": psnr(est_color, ref_color, mask[..., None]),
         "ssim": ssim(ec, rc),
+        "ms_ssim": ms_ssim(ec, rc),
         "depth_l1": depth_l1(est_depth, ref_depth),
     }
     out["lpips"] = _lpips(ec, rc)

@@ -143,3 +143,69 @@ class TestFuseFrame:
         winner, uc, vc = fusion.winner_flags(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         w = np.asarray(winner)
         assert not w[0] and w[1]  # nearest wins
+
+
+class TestMaintenance:
+    """Live map maintenance wired into the pipeline (VERDICT r1 #3)."""
+
+    def _mapping(self, prune_freq=2, compact_frag=0.0):
+        from eggfusion_tpu import config as cfglib
+        from eggfusion_tpu.core.mapper import Mapping
+        from eggfusion_tpu.core.renderer import Renderer
+
+        cfg = cfglib.default_config(
+            Dataset={"Calibration": {"width": W, "height": H, "fx": 30.0, "fy": 30.0,
+                                     "cx": W / 2 - 0.5, "cy": H / 2 - 0.5}},
+            Viewer={"max_surfels_num": 64},
+            Mapping={"prune_freq": prune_freq, "prune_max_age": 3,
+                     "compact_frag": compact_frag},
+            Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+            System={"capacity_bucketing": False},
+        )
+        return Mapping(cfg, Renderer(cfg, backend="xla"))
+
+    def test_maintain_map_prunes_and_compacts(self):
+        mp = self._mapping()
+        s = _map_with([[0.0, 0.0, 2.0]] * 24)  # CFG capacity is 32
+        # 9 error-dominated surfels, 15 healthy (observed, above error ratio)
+        err = np.zeros(s.capacity, np.int32)
+        err[:9] = 10
+        obs = np.zeros(s.capacity, np.int32)
+        obs[9:24] = 8
+        s = s.replace(
+            error_count=jnp.asarray(err), observe_count=jnp.asarray(obs),
+        )
+        mp.surfels = sf.grow_surfels(s, 64)
+        mp.time = 30
+        mp.maintain_map()
+        assert int(mp.surfels.num_active()) == 15
+        # compacted: watermark equals active count, so freed slots are reusable
+        assert int(mp.surfels.count) == 15
+        assert mp._known_count == 15
+
+    def test_pruned_slots_reused_by_append(self):
+        mp = self._mapping()
+        s = _map_with([[0.0, 0.0, 2.0]] * 30)
+        err = np.zeros(s.capacity, np.int32)
+        err[:20] = 10
+        obs = np.zeros(s.capacity, np.int32)
+        obs[20:30] = 8  # healthy: observed enough to dodge the stale rule
+        s = s.replace(error_count=jnp.asarray(err), observe_count=jnp.asarray(obs))
+        mp.surfels = sf.grow_surfels(s, 64)
+        mp.time = 30
+        mp.maintain_map()
+        watermark = int(mp.surfels.count)
+        assert watermark == 10
+        # a fresh append lands in the reclaimed slots, not past the old mark
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform(-1, 1, (5, 3)).astype(np.float32)
+        nrm = np.tile(np.asarray([[0, 0, -1.0]], np.float32), (5, 1))
+        batch = sf.SpawnBatch(
+            xyz=jnp.asarray(xyz), normal=jnp.asarray(nrm),
+            color=jnp.full((5, 3), 0.5), dist=jnp.full((5, 3), 0.05),
+            eta=jnp.asarray(np.concatenate([xyz, nrm * 4.0], -1)),
+            sigma2=jnp.full((5, 2), 0.25), valid=jnp.ones(5, bool),
+        )
+        s2 = sf.append_surfels(mp.surfels, batch, jnp.int32(31), 0.99)
+        assert int(s2.count) == 15
+        assert int(s2.num_active()) == 15

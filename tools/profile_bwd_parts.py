@@ -1,6 +1,9 @@
 """Decompose the render fwd+bwd cost: composite kernels vs expand gathers vs
-projection chain. Run with PYTHONPATH=/root/.axon_site:/root/repo."""
+projection chain."""
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
