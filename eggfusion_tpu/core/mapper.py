@@ -169,6 +169,20 @@ _compact_jit = jax.jit(sf.compact_surfels, donate_argnums=(0,))
 
 
 @jax.jit
+def _finite_fractions(kfm: dict) -> dict:
+    return {k: jnp.mean(jnp.isfinite(v.astype(jnp.float32)).astype(jnp.float32))
+            for k, v in kfm.items()}
+
+
+def _check_nan_maps(kfm: dict, uid) -> None:
+    """Validate keyframe loss inputs (reference `check_nan`, `mapper.py:21-27`)."""
+    fracs = _finite_fractions(kfm)
+    for k, frac in fracs.items():
+        if float(np.asarray(frac)) < 1.0:
+            raise FloatingPointError(f"non-finite values in keyframe uid={uid} map '{k}'")
+
+
+@jax.jit
 def _geo_snapshot(s: sf.SurfelMap) -> dict:
     """Round-start geometry for the drift regularizer. Fresh device buffers
     (xyz + 0.0, not an alias): opt_step donates the surfel SoA, so the
@@ -312,6 +326,12 @@ class Mapping:
 
         self.renderer = renderer
         self.keyframe_manager = KeyFrameManager(cfg)
+        # NaN sentinel parity (reference `check_nan` + hard exit on NaN loss,
+        # `mapper.py:21-27,440-442`): when System.check_nan is on, every
+        # optimization step syncs the loss and every keyframe's maps are
+        # validated before use; a NaN raises instead of silently corrupting
+        # the map. Debug mode — each check is a host round-trip.
+        self.debug_nan = bool(cfg.System.get("check_nan", False))
         # postprocess thresholds (static): the fused map-update program also
         # emits the next frame's tracking model map (see `map_update`)
         self._system_cfg = {
@@ -623,6 +643,8 @@ class Mapping:
         loss = jnp.float32(jnp.nan)
         for kf, n in runs:
             kfm = kf.device_maps()
+            if self.debug_nan:
+                _check_nan_maps(kfm, kf.uid)
             w2c = jnp.asarray(kf.w2c)
             intr = jnp.asarray(kf.intr)
             cache = (
@@ -634,6 +656,12 @@ class Mapping:
                     self.surfels, moments, step, kfm, w2c, intr,
                     geo_snapshot, lrs_dev, kf.width, kf.height, cache,
                 )
+                if self.debug_nan and not np.isfinite(float(np.asarray(loss))):
+                    # reference behavior is exit() (`mapper.py:440-442`);
+                    # raising keeps the guard testable and lets callers save
+                    raise FloatingPointError(
+                        f"NaN/Inf map-optimization loss at keyframe uid={kf.uid}"
+                    )
         return loss  # device scalar; callers float() it only when reporting
 
     def frame_batch_optimization(self, frame) -> float:

@@ -191,8 +191,45 @@ class EGGFusion:
 
     # ---- per-frame pipeline -------------------------------------------------
 
+    def _model_map_at(self, w2c) -> dict:
+        """Minimal tracking model map (render + pyramid) at an arbitrary pose.
+
+        Used by `resume()` and by tracking-loss recovery — both re-anchor
+        the tracker to a freshly rendered model view."""
+        intr = _cal_intrinsics(self.cfg)
+        ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
+        out = self.mapper._render_model(self.mapper.surfels, w2c, ia, intr.width, intr.height)
+        opa = out["opacity"] > self.reco_opacity_thres
+        pyramid = build_pyramid(
+            out["color"], out["depth"], opa.astype(jnp.float32), ia, nlevel=self.nlevel
+        )
+        return {"transform": w2c, "pyramid": pyramid}
+
+    def _recover_tracking(self) -> bool:
+        """Re-anchor tracking after a failure streak (VERDICT r1 #7; extends
+        the reference's per-frame fallback contract, `tracker.py:153-170`,
+        which free-runs with no recovery path). The model view is re-rendered
+        at the last CONVERGED pose (clean render, no corrupted-frame fill-in)
+        — or the last keyframe if no converged pose exists — and the motion
+        model is cleared; the next dense solve re-locks against that anchor.
+        A cheap stand-in for ORB-SLAM2 relocalization."""
+        anchor, anchor_id = self.tracker.last_good_w2c, -1
+        if anchor is None:
+            km = self.mapper.keyframe_manager
+            ids = km.ids()
+            if not ids:
+                return False
+            kf = km.keyframes[ids[-1]]
+            anchor, anchor_id = jnp.asarray(kf.w2c), kf.uid
+        self.model_map = self._model_map_at(jnp.asarray(anchor))
+        self.tracker.reset_motion()
+        self.metrics.append({"frame": -1, "recovered_to_kf": anchor_id})
+        return True
+
     def reconstruct(self, frame: Frame) -> None:
         t0 = _time.perf_counter()
+        if self.model_map is not None and self.tracker.needs_recovery():
+            self._recover_tracking()
         self.tracker.tracking(frame, self.model_map)
         t1 = _time.perf_counter()
         self.preprocess(frame)
@@ -306,14 +343,7 @@ class EGGFusion:
         if self.traj["est"]:
             last_c2w = np.asarray(self.traj["est"][-1])
             w2c = jnp.asarray(np.linalg.inv(last_c2w), jnp.float32)
-            intr = _cal_intrinsics(self.cfg)
-            ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
-            out = self.mapper._render_model(self.mapper.surfels, w2c, ia, intr.width, intr.height)
-            opa = out["opacity"] > self.reco_opacity_thres
-            pyramid = build_pyramid(
-                out["color"], out["depth"], opa.astype(jnp.float32), ia, nlevel=self.nlevel
-            )
-            self.model_map = {"transform": w2c, "pyramid": pyramid}
+            self.model_map = self._model_map_at(w2c)
             self.tracker._push_pose(w2c)
             self.tracker.initialized = True
         print(f"Resumed {int(np.asarray(s.count))} surfels @ frame {self.mapper.time} from {path}")
