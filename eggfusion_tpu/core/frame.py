@@ -42,8 +42,21 @@ def _bilateral_jit(depth):
     return imops.bilateral_filter(depth, 13, 0.03, 4.5)
 
 
+@functools.lru_cache(maxsize=8)
+def _intr_array(intr: cam.CameraIntrinsics) -> jnp.ndarray:
+    """Device (fx, fy, cx, cy) cached per intrinsics: a per-frame upload is a
+    multi-ms host->device round trip on tunnel-attached TPUs."""
+    return intr.as_array()
+
+
 class Frame:
-    """Host-side frame wrapper. Device arrays live in .color/.depth/.pyramid."""
+    """Host-side frame wrapper. Device arrays live in .color/.depth/.pyramid.
+
+    Per-frame device traffic is kept minimal: the GT pose stays a HOST numpy
+    matrix (nothing on the hot path consumes it on device — trajectory
+    bookkeeping is host-side), intrinsics/projection matrices are cached
+    uploads, and the estimated pose is stored as ONE (4, 4) device matrix
+    with R/t derived lazily (each eager slice is a separate dispatch)."""
 
     def __init__(self, uid: int, ts: float, color_u8: np.ndarray, depth_raw: np.ndarray,
                  mask: np.ndarray, gt_pose_w2c: np.ndarray, intr: cam.CameraIntrinsics,
@@ -52,21 +65,21 @@ class Frame:
         self.uid = uid
         self.ts = float(ts)
         self.intrinsics = intr
-        self.intr = intr.as_array()
+        self.intr = _intr_array(intr)
         self.width, self.height = intr.width, intr.height
         self.fx, self.fy, self.cx, self.cy = intr.fx, intr.fy, intr.cx, intr.cy
         self.fovx, self.fovy = intr.fovx, intr.fovy
         self.sparse_tracking = False
 
-        gt = np.asarray(gt_pose_w2c, np.float32)
-        self.cam_R_gt = jnp.asarray(gt[:3, :3])
-        self.cam_t_gt = jnp.asarray(gt[:3, 3])
-        self.cam_R = jnp.eye(3)
-        self.cam_t = jnp.zeros(3)
+        # host copy; uploaded only if a device consumer asks (gt-pose modes)
+        self.gt_w2c = np.asarray(gt_pose_w2c, np.float32)
+        self._w2c = None
+        self._c2w = None
+        self._gt_w2c_dev = None
 
         if projmat is None:
             projmat = cam.projection_matrix_fov(0.01, 100.0, intr.fovx, intr.fovy).T
-        self.projmat = jnp.asarray(projmat, jnp.float32)  # pre-transposed (3DGS layout)
+        self.projmat = projmat  # pre-transposed (3DGS layout); host-side
 
         if prefiltered:
             # inputs already float metric (synthetic / device-resident path)
@@ -90,32 +103,39 @@ class Frame:
     # (tracker, preprocess, mapping, keyframing, trajectory) and each eager
     # rebuild is a separate device dispatch.
 
-    def update_transform(self, R, t) -> None:
-        self.cam_R = jnp.asarray(R, jnp.float32)
-        self.cam_t = jnp.asarray(t, jnp.float32)
-        self._w2c = None
+    def update_transform_gt(self) -> None:
+        """Commit the GT pose as the estimate (frame 0 / only_mapping)."""
+        if self._gt_w2c_dev is None:
+            self._gt_w2c_dev = jnp.asarray(self.gt_w2c)
+        self._w2c = self._gt_w2c_dev
         self._c2w = None
 
     def update_transform_matrix(self, w2c) -> None:
         """Set the pose from a full (4, 4) w2c without re-deriving it."""
-        w2c = jnp.asarray(w2c, jnp.float32)
-        self.cam_R = w2c[:3, :3]
-        self.cam_t = w2c[:3, 3]
-        self._w2c = w2c
+        self._w2c = jnp.asarray(w2c, jnp.float32)
         self._c2w = None
+
+    @property
+    def cam_R(self) -> jnp.ndarray:
+        return self.w2c_matrix()[:3, :3]
+
+    @property
+    def cam_t(self) -> jnp.ndarray:
+        return self.w2c_matrix()[:3, 3]
 
     def w2c_matrix(self, gt: bool = False) -> jnp.ndarray:
         if gt:
-            return cam.world_to_camera(self.cam_R_gt, self.cam_t_gt)
-        if getattr(self, "_w2c", None) is None:
-            self._w2c = cam.world_to_camera(self.cam_R, self.cam_t)
+            if self._gt_w2c_dev is None:
+                self._gt_w2c_dev = jnp.asarray(self.gt_w2c)
+            return self._gt_w2c_dev
+        assert self._w2c is not None, "pose not set yet (tracker runs first)"
         return self._w2c
 
     def c2w_matrix(self, gt: bool = False) -> jnp.ndarray:
         if gt:
-            return cam.camera_to_world(self.cam_R_gt, self.cam_t_gt)
-        if getattr(self, "_c2w", None) is None:
-            self._c2w = cam.camera_to_world(self.cam_R, self.cam_t)
+            return jnp.asarray(np.linalg.inv(self.gt_w2c))
+        if self._c2w is None:
+            self._c2w = jnp.linalg.inv(self.w2c_matrix())
         return self._c2w
 
     @property
@@ -125,7 +145,7 @@ class Frame:
 
     @property
     def full_proj_transform(self) -> jnp.ndarray:
-        return self.world_view_transform @ self.projmat
+        return self.world_view_transform @ jnp.asarray(self.projmat, jnp.float32)
 
     @property
     def camera_center(self) -> jnp.ndarray:

@@ -66,6 +66,19 @@ class MapperConfig(NamedTuple):
     prune_freq: int = 30
     prune_max_age: int = 30
     compact_frag: float = 0.125
+    # sliding-window optimization schedule:
+    #   "burst"     — reference-exact (`mapper.py:180-195`): every
+    #                 sw_optimize_freq frames run local_map_iter steps on
+    #                 each window member (9-step ~500 ms frame spikes).
+    #   "amortized" — same steps/second spread over every frame: 1-2 steps
+    #                 per frame against a rotating window member, tile
+    #                 binning cached across the member's rotation slot
+    #                 (surfels move ~mm between frames — far below a tile),
+    #                 Adam moments reset once per sw period (round parity).
+    #                 No spikes, and the post-optimization re-render of opt
+    #                 frames disappears (every frame's map update emits the
+    #                 fused model map).
+    opt_schedule: str = "amortized"
     # stochastic tile-subset map optimization (Pallas backend only): each
     # Adam step renders + backprops a random `opt_tile_fraction` subset of
     # the compositor tiles. The masked-mean gradient over the subset is an
@@ -298,6 +311,7 @@ class Mapping:
             prune_freq=int(m.get("prune_freq", 30)),
             prune_max_age=int(m.get("prune_max_age", 30)),
             compact_frag=float(m.get("compact_frag", 0.125)),
+            opt_schedule=str(m.get("opt_schedule", "amortized")),
         )
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
@@ -354,6 +368,13 @@ class Mapping:
         self.surfels = sf.SurfelMap.empty(self.scfg._replace(capacity=init_cap))
         self._known_count = 0  # count after the last map update (host mirror)
         self._count_ref = None  # device scalar being copied back asynchronously
+        # amortized-schedule state
+        self._opt_acc = 0.0  # fractional step accumulator
+        self._opt_kf = None  # window member currently being optimized
+        self._opt_cache = None  # its tile binning (valid across its slot)
+        self._opt_geo = None  # drift-regularizer anchor for the current round
+        self._opt_moments = None
+        self._opt_stepno = None
         self.time = 0
         self.model_map: dict | None = None
         self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
@@ -556,6 +577,10 @@ class Mapping:
         )
         if cap_needed > self.surfels.capacity:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
+            # capacity change invalidates amortized-opt per-capacity state
+            self._opt_cache = None
+            self._opt_kf = None
+            self._opt_moments = None
 
     def mapping(self, frame, frame_map: dict) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
@@ -566,13 +591,19 @@ class Mapping:
         optimization frames, where the caller must render it AFTER the
         optimization (reference ordering, `system.py:47-49`)."""
         first = self.time == 0
+        amortized = self.mcfg.opt_schedule == "amortized"
         opt_frame = self.time % self.mcfg.sw_optimize_freq == 0
         if self.bucketing:
             self._ensure_capacity(first)
+        # amortized schedule: EVERY frame's map update emits the fused model
+        # map (1-2 opt steps per frame don't warrant the reference's
+        # post-optimization re-render; the next frame tracks a view at most
+        # one micro-step stale)
+        full_post = True if amortized else not opt_frame
         self.surfels, model_map, _ = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
-            not opt_frame,
+            full_post,
         )
         if self.bucketing:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
@@ -592,7 +623,13 @@ class Mapping:
             )
         if opt_frame:
             self.keyframe_manager.check_keyframe(frame, frame_map, self.time)
-            self.frame_batch_optimization(frame)
+        if first or not amortized:
+            # frame 0 keeps the reference's init burst (local_map_iter_init
+            # steps) in both schedules; burst mode keeps the full schedule
+            if opt_frame:
+                self.frame_batch_optimization(frame)
+        else:
+            self._amortized_opt()
 
         self.time += 1
         return model_map
@@ -612,8 +649,69 @@ class Mapping:
         if count - n_active > self.mcfg.compact_frag * self.surfels.capacity:
             self.surfels = _compact_jit(self.surfels)
             count = n_active
+            # compaction permutes slots: cached binning / Adam moments /
+            # drift anchors refer to the old slot order
+            self._opt_cache = None
+            self._opt_kf = None
+            self._opt_moments = None
         self._known_count = count
         self._count_ref = None
+
+    def _lrs_dev(self, lrs: dict) -> dict:
+        """Device copies of the LR scalars, uploaded once (six per-frame tiny
+        uploads are six tunnel round trips on remote-attached TPUs)."""
+        key = tuple(sorted(lrs.items()))
+        cache = getattr(self, "_lrs_cache", None)
+        if cache is None or cache[0] != key:
+            self._lrs_cache = (key, {k: jnp.float32(v) for k, v in lrs.items()})
+        return self._lrs_cache[1]
+
+    def _amortized_opt(self) -> None:
+        """Spread the sliding-window optimization over every frame (see
+        `MapperConfig.opt_schedule`): the same local_map_iter * |window| steps
+        per sw_optimize_freq frames, run 1-2 at a time against a rotating
+        window member. The member's tile binning is computed once per
+        rotation slot and reused across its frames (fusion moves surfels by
+        ~mm — far below a tile; surfels spawned since simply miss their
+        gradient until the next rebin)."""
+        window = list(self.keyframe_manager.sliding_window)
+        if not window:
+            return
+        mcfg = self.mcfg
+        self._opt_acc += mcfg.local_map_iter * len(window) / mcfg.sw_optimize_freq
+        n = int(self._opt_acc)
+        if n == 0:
+            return
+        self._opt_acc -= n
+
+        # round boundary: fresh Adam moments + drift anchor (the reference
+        # re-creates both per optimization round, `mapper.py:338`)
+        if self._opt_moments is None or self.time % mcfg.sw_optimize_freq == 0:
+            params = {k: getattr(self.surfels, k) for k in OPT_FIELDS}
+            self._opt_moments = _adam_init(params)
+            self._opt_stepno = jnp.int32(0)
+            self._opt_geo = _geo_snapshot(self.surfels)
+
+        rot = max(1, mcfg.sw_optimize_freq // len(window))
+        kf = window[(self.time // rot) % len(window)]
+        w2c = jnp.asarray(kf.w2c)
+        intr = jnp.asarray(kf.intr)
+        if kf is not self._opt_kf or self._opt_cache is None:
+            self._opt_kf = kf
+            self._opt_cache = self._bin_cache(self.surfels, w2c, intr, kf.width, kf.height)
+        kfm = kf.device_maps()
+        if self.debug_nan:
+            _check_nan_maps(kfm, kf.uid)
+        lrs = self._lrs_dev(self.sw_lrs)
+        for _ in range(n):
+            self.surfels, self._opt_moments, self._opt_stepno, loss = self._opt_step(
+                self.surfels, self._opt_moments, self._opt_stepno, kfm, w2c, intr,
+                self._opt_geo, lrs, kf.width, kf.height, self._opt_cache,
+            )
+            if self.debug_nan and not np.isfinite(float(np.asarray(loss))):
+                raise FloatingPointError(
+                    f"NaN/Inf map-optimization loss at keyframe uid={kf.uid}"
+                )
 
     def get_render_output(self, frame) -> dict:
         """Render the current model from a frame's pose (reference

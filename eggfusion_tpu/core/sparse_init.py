@@ -59,7 +59,17 @@ class NativeSparseInitializer:
             if delta is not None:
                 result = (delta @ np.asarray(w2c0, np.float64)).astype(np.float32)
 
-        w2c_state = result if result is not None else np.asarray(frame.w2c_matrix(), np.float64)
+        w2c_state = result
+        if w2c_state is None:
+            # no sparse solve: carry the best-known absolute pose forward —
+            # the frame's committed pose when one exists (frame-0/GT path),
+            # else the previous state (zero-motion dead reckoning)
+            if getattr(frame, "_w2c", None) is not None:
+                w2c_state = np.asarray(frame.w2c_matrix(), np.float64)
+            elif self.prev is not None:
+                w2c_state = self.prev[3]
+            else:
+                w2c_state = np.eye(4)
         self.prev = (kps, desc, depth, w2c_state)
         return result
 
@@ -114,7 +124,14 @@ class OpenCVSparseInitializer:
                         # delta maps prev-camera coords -> curr-camera coords
                         result = (delta @ np.asarray(w2c0, np.float64)).astype(np.float32)
 
-        w2c_for_state = result if result is not None else np.asarray(frame.w2c_matrix(), np.float64)
+        w2c_for_state = result
+        if w2c_for_state is None:
+            if getattr(frame, "_w2c", None) is not None:
+                w2c_for_state = np.asarray(frame.w2c_matrix(), np.float64)
+            elif self.prev is not None:
+                w2c_for_state = self.prev[3]
+            else:
+                w2c_for_state = np.eye(4)
         self.prev = (kps, desc, depth, w2c_for_state)
         return result
 

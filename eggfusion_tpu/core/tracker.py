@@ -269,7 +269,7 @@ class Tracker:
         """Main tracking entry (reference `tracker.py:175-192`)."""
         if self.only_mapping or not self.initialized:
             self.initialized = True
-            frame.update_transform(frame.cam_R_gt, frame.cam_t_gt)
+            frame.update_transform_gt()
             if self._sparse is not None:
                 self._sparse.track(frame)  # keep the frontend's state warm
             self._push_pose(frame.w2c_matrix())

@@ -19,6 +19,14 @@ def build_frame(dataset, fid: int, preload: bool):
     from eggfusion_tpu.core.frame import Frame
 
     ts, color, depth, mask, gt_pose = dataset.get_buffer_frame() if preload else dataset[fid]
+    if isinstance(mask, np.ndarray):
+        # the validity mask is dataset-constant (the undistortion validity
+        # map, `datasets.py`): upload once, reuse the device handle
+        if getattr(dataset, "_mask_dev", None) is None:
+            import jax.numpy as jnp
+
+            dataset._mask_dev = jnp.asarray(mask, jnp.float32)
+        mask = dataset._mask_dev
     if isinstance(color, jax.Array):
         # device-resident feed (float color/metric depth already on device)
         return Frame(

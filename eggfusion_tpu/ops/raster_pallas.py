@@ -55,11 +55,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 from eggfusion_tpu.ops import raster_common as rc
 
-TILE_H = 32  # smaller tiles measured strictly worse: per-entry slab loads,
-#              not per-pixel math, dominate — TILE_H=8 at the same cap is
-#              2.5x slower fwd (38.7 vs 15.7 ms) and 3.2x slower fwd+bwd
-#              (179 vs 56.5 ms) at 370k surfels on v5e, because 4x more
-#              tiles each still saturate the entry cap.
+import os as _os
+
+# Tile height is the compositor's main cost/quality trade dial when moved
+# TOGETHER with the entry cap: per-pixel sweep work = cap, and the cap a tile
+# needs for equal coverage scales with its area — so TILE_H 32 -> 16 with
+# cap 512 -> 256 keeps the same entries-per-pixel density at ~half the
+# per-pixel work. (Moving TILE_H alone at a FIXED cap is strictly worse:
+# TILE_H=8 at cap 512 measured 2.5x slower fwd, because 4x more tiles each
+# still saturate the oversized cap.) Overridable for experiments via env.
+TILE_H = int(_os.environ.get("EGG_RASTER_TILE_H", 32))
 TILE_W = 128
 KX = 2  # candidate tile window, x (256 px: covers radius <= 63 px)
 KY = 2  # candidate tile window, y (2*TILE_H px: covers radius <=
@@ -279,8 +284,16 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         # scalar combination A_k = sum_c g_c c_k that galpha needs anyway:
         #     galpha_k = T_k A_k - B/(1-a_k);   B += w_k A_k.
         # One suffix image + 1 FMA replace eight suffix images, eight FMA
-        # updates and the nine-term recombination — ~35% fewer VPU ops per
-        # entry-pixel in the hot reverse sweep.
+        # updates and the nine-term recombination.
+        #
+        # The 15 per-entry scalar gradients are reduced PER CHUNK, not per
+        # entry: each entry's reduction inputs are kept as images and the
+        # chunk's 8 images per attribute collapse in ONE (CHUNK, TH*TW)
+        # row-sum. Per-entry jnp.sum was the kernel's bottleneck — the
+        # reduction's fixed cost made the backward invariant to tile size
+        # (measured 21.9 ms per-entry vs 9.2 ms batched at TILE_H=16 on the
+        # isolated sweep kernel, and batching is what lets smaller tiles
+        # actually pay off).
         def body2(carry):
             ci, B = carry
             ch = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
@@ -295,7 +308,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 zpxs.append(z_px); zaux.append((denom_safe, pn, use_plane)); Ts.append(T)
                 T = T * (1.0 - alpha)
 
-            grows = []
+            red_ins = [None] * CHUNK  # per entry: list of 15 reduction images
             for k in reversed(range(CHUNK)):
                 alpha = alphas[k]
                 Tk = Ts[k]
@@ -321,19 +334,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
                 # chain into splat params: alpha = op * exp(power)
                 expp = jnp.where(live, raws[k] / jnp.maximum(chk[A_OP], 1e-12), 0.0)
-                g_op = jnp.sum(galpha * expp) * chk[A_VAL]
                 gP = galpha * alpha  # d(alpha)/d(power) = alpha (unclamped)
                 dx, dy = dxs[k], dys[k]
                 ca, cb2, cc = chk[A_CA], chk[A_CB], chk[A_CC]
-                g_u = jnp.sum(gP * (ca * dx + cb2 * dy))
-                g_v = jnp.sum(gP * (cb2 * dx + cc * dy))
-                g_ca = jnp.sum(gP * (-0.5 * dx * dx))
-                g_cb = jnp.sum(gP * (-dx * dy))
-                g_cc = jnp.sum(gP * (-0.5 * dy * dy))
-
-                g_cr = jnp.sum(g_r * w)
-                g_cg = jnp.sum(g_g * w)
-                g_cb_col = jnp.sum(g_b * w)
 
                 # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
                 gz = g_dep * w
@@ -342,23 +345,34 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 g_den = -g_pn * pn * rden
                 gz_fb = jnp.where(use_plane, 0.0, gz)
 
-                g_nx_e = jnp.sum(g_nx * w + g_pn * chk[A_PX] + g_den * rx)
-                g_ny_e = jnp.sum(g_ny * w + g_pn * chk[A_PY] + g_den * ry)
-                g_nz_e = jnp.sum(g_nz * w + g_pn * chk[A_PZ] + g_den)
-                g_px = jnp.sum(g_pn * nxs)
-                g_py = jnp.sum(g_pn * nys)
-                g_pz = jnp.sum(g_pn * nzs + gz_fb)
-
-                grows.append(
-                    jnp.stack(
-                        [g_u, g_v, g_ca, g_cb, g_cc, g_op, g_cr, g_cg, g_cb_col,
-                         g_nx_e, g_ny_e, g_nz_e, g_px, g_py, g_pz, 0.0]
-                    )
-                )
+                red_ins[k] = [
+                    gP * (ca * dx + cb2 * dy),            # g_u
+                    gP * (cb2 * dx + cc * dy),            # g_v
+                    gP * (-0.5 * dx * dx),                # g_ca
+                    gP * (-dx * dy),                      # g_cb
+                    gP * (-0.5 * dy * dy),                # g_cc
+                    galpha * expp,                        # g_op (VAL applied below)
+                    g_r * w,                              # g_cr
+                    g_g * w,                              # g_cg
+                    g_b * w,                              # g_cb_col
+                    g_nx * w + g_pn * chk[A_PX] + g_den * rx,  # g_nx_e
+                    g_ny * w + g_pn * chk[A_PY] + g_den * ry,  # g_ny_e
+                    g_nz * w + g_pn * chk[A_PZ] + g_den,       # g_nz_e
+                    g_pn * nxs,                           # g_px
+                    g_pn * nys,                           # g_py
+                    g_pn * nzs + gz_fb,                   # g_pz
+                ]
 
                 B = B + w * A
 
-            dent_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.stack(grows[::-1], axis=0)
+            cols = []
+            for j in range(15):
+                st = jnp.concatenate([red_ins[k][j] for k in range(CHUNK)], axis=0)
+                cols.append(jnp.sum(st.reshape(CHUNK, TILE_H * TILE_W), axis=1))
+            # g_op carries the entry-valid factor (rows past count -> 0)
+            cols[5] = cols[5] * ch[:, A_VAL]
+            cols.append(jnp.zeros((CHUNK,), jnp.float32))
+            dent_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.stack(cols, axis=1)
             return (ci - 1, B)
 
         def cond2(carry):

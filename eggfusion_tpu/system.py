@@ -43,10 +43,13 @@ def _cal_intrinsics(cfg) -> CameraIntrinsics:
 
 
 @functools.partial(jax.jit, static_argnames=("reco_normal_thres",))
-def preprocess_frame_map(color, depth, vmap, nmap, mask, intr, c2w, reco_normal_thres: float):
+def preprocess_frame_map(color, depth, vmap, nmap, mask, intr, w2c, reco_normal_thres: float):
     """Build the frame_map (reference `EGGFusion.preprocess`,
     `system.py:83-125`): depth-gradient edge mask (>0.1), incident-angle
-    grazing mask, invalid zeroing, radial confidence, world-frame maps."""
+    grazing mask, invalid zeroing, radial confidence, world-frame maps.
+    Takes w2c and inverts in-program (an eager 4x4 inverse is a separate
+    dispatch per frame on tunnel-attached TPUs)."""
+    c2w = jnp.linalg.inv(w2c)
     gx, gy = imops.diff_gradients(depth)
     edge_mask = jnp.sqrt(gx**2 + gy**2) > 0.1
 
@@ -260,7 +263,7 @@ class EGGFusion:
         p0 = frame.pyramid[0]
         self.frame_map = preprocess_frame_map(
             frame.color, frame.depth, p0.vertex, p0.normal, frame.mask,
-            frame.intr, frame.c2w_matrix(), self.reco_normal_thres,
+            frame.intr, frame.w2c_matrix(), self.reco_normal_thres,
         )
 
     def postprocess(self, frame: Frame) -> None:
@@ -270,17 +273,27 @@ class EGGFusion:
         )
 
     def append_trajectory(self, frame: Frame) -> None:
-        # device arrays, converted lazily (per-frame np.asarray would sync)
+        # GT stays host-side numpy (it never touches the device); the
+        # estimate is stored as the already-cached device w2c HANDLE — no
+        # per-frame inverse dispatch, no sync. `_traj_np` batch-inverts on
+        # the host when the trajectory is actually read.
         self.traj["ts"].append(frame.ts)
-        self.traj["ref"].append(frame.c2w_matrix(gt=True))
-        self.traj["est"].append(frame.c2w_matrix())
+        self.traj["ref"].append(np.linalg.inv(frame.gt_w2c))
+        self.traj["est"].append(frame.w2c_matrix())
 
     def _traj_np(self, key: str) -> np.ndarray:
-        if not self.traj[key]:
+        """Materialize a trajectory as host c2w matrices. Entries are either
+        np c2w (GT / resumed / already converted) or device w2c handles —
+        the latter are converted in ONE bulk transfer + batched inversion."""
+        entries = self.traj[key]
+        if not entries:
             return np.zeros((0, 4, 4), np.float32)
-        stacked = np.asarray(jnp.stack(self.traj[key]))
-        self.traj[key] = [jnp.asarray(m) for m in stacked]  # cache host copies
-        return stacked
+        idx_dev = [i for i, m in enumerate(entries) if not isinstance(m, np.ndarray)]
+        if idx_dev:
+            conv = np.linalg.inv(np.asarray(jnp.stack([entries[i] for i in idx_dev])))
+            for j, i in enumerate(idx_dev):
+                entries[i] = conv[j]
+        return np.stack(entries).astype(np.float32)
 
     # ---- finalization -------------------------------------------------------
 
@@ -335,8 +348,8 @@ class EGGFusion:
         if "ts" in extra:
             self.traj = {
                 "ts": list(np.asarray(extra["ts"])),
-                "ref": [jnp.asarray(m) for m in extra.get("traj_ref", [])],
-                "est": [jnp.asarray(m) for m in extra.get("traj_est", [])],
+                "ref": [np.asarray(m) for m in extra.get("traj_ref", [])],
+                "est": [np.asarray(m) for m in extra.get("traj_est", [])],
             }
         # rebuild the tracking model_map (render at the last estimated pose)
         # and the tracker's pose history, so the next frame tracks seamlessly

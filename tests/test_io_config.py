@@ -115,5 +115,5 @@ class TestEval:
         c = rng.uniform(size=(32, 32, 3))
         d = rng.uniform(1, 2, size=(32, 32, 1))
         out = evalu.eval_render(c, d, c * 0.9, d * 1.1)
-        assert set(out) == {"psnr", "ssim", "depth_l1", "lpips"}
+        assert set(out) == {"psnr", "ssim", "ms_ssim", "depth_l1", "lpips"}
         assert out["psnr"] > 15

@@ -76,8 +76,8 @@ class TestRecovery:
 
         # trajectory over the GOOD frames stays bounded (no free-run blowup)
         good = [i for i in range(n) if not (6 <= i < 9)]
-        ref = np.asarray(jnp.stack([ef.traj["ref"][i] for i in good]))[:, :3, 3]
-        est = np.asarray(jnp.stack([ef.traj["est"][i] for i in good]))[:, :3, 3]
+        ref = ef._traj_np("ref")[good][:, :3, 3]
+        est = ef._traj_np("est")[good][:, :3, 3]
         ate = evalu.ate_rmse(ref, est)
         # free-running (no recovery) this scenario diverges to ~17 cm and
         # stays there; recovered it re-locks to ~2 cm and keeps improving

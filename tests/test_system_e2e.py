@@ -116,8 +116,8 @@ class TestEndToEnd:
         for fid in (8, 9):
             ef2.reconstruct(build_frame(dataset, fid, False))
         assert len(ef2.traj["est"]) == 10
-        ref = np.asarray([np.asarray(m) for m in ef2.traj["ref"]])[:, :3, 3]
-        est = np.asarray([np.asarray(m) for m in ef2.traj["est"]])[:, :3, 3]
+        ref = ef2._traj_np("ref")[:, :3, 3]
+        est = ef2._traj_np("est")[:, :3, 3]
         assert evalu.ate_rmse(ref, est) < 1.0
 
 
