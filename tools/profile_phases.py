@@ -68,8 +68,10 @@ def main():
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
     ef.warmup()
+    frame = None
     for fid in range(n_frames):
-        ef.reconstruct(build_frame(dataset, fid, False))
+        frame = build_frame(dataset, fid, False)
+        ef.reconstruct(frame)
         jax.block_until_ready(ef.mapper.surfels.count)
     for m in ef.metrics[-6:]:
         print({k: round(v, 1) if isinstance(v, float) else v for k, v in m.items()
@@ -81,7 +83,6 @@ def main():
         return not only or name in only
 
     mp = ef.mapper
-    frame = build_frame(dataset, n_frames - 1, False)
     s = mp.surfels
     fm = ef.frame_map
     w2c = frame.w2c_matrix()
