@@ -56,6 +56,11 @@ def main() -> None:
         },
         Viewer={"max_surfels_num": max_surfels},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+        # Replica-parity optimization schedule (the north-star workload):
+        # reference configs/replica/base.yaml:50 uses local_map_iter 3 (the
+        # global base.yaml's 5 is the TUM setting) -> 1.5 amortized
+        # steps/frame, matching our configs/replica/base.yaml
+        Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3))},
         # fixed capacity: measure steady-state max-capacity throughput and
         # keep bucket-growth recompiles out of the timed loop
         System={"save_dir": "results/bench", "final_global_opt": False,

@@ -9,14 +9,15 @@ the classic splatting pipeline, re-shaped for TPU:
 
   1. project (XLA, differentiable) — shared `raster_common.project_surfels`.
   2. depth-sort surfels once, globally (XLA argsort).
-  3. tile binning (XLA, non-diff): each surfel emits up to KX*KY candidate
-     (tile, surfel) entries from a fixed window anchored at its bbox corner;
-     a single stable sort by tile id yields per-tile contiguous, depth-ordered
-     entry runs (fixed candidate count replaces the CUDA variable-length
-     duplication + radix sort; stability preserves the depth order).
+  3. sub-column binning (XLA, non-diff): each surfel emits up to KSUB*KY
+     candidate (sub-column, surfel) entries from a fixed window anchored at
+     its bbox corner; a single sort by fused (subtile, depth) key yields
+     per-sub-column contiguous, depth-ordered entry runs (fixed candidate
+     count replaces the CUDA variable-length duplication + radix sort).
   4. per-tile gather of a fixed-capacity (CAP) entry slab: (T, CAP, 16)
-     attribute array. Differentiable gather — the backward is the segment-sum
-     XLA generates for free.
+     attribute array, rows interleaving the tile's 4 sub-columns.
+     Differentiable gather — the backward is the segment-sum XLA generates
+     for free.
   5. Pallas compositing kernel: grid over tiles, each instance front-to-back
      alpha-blends its slab over a TILE_H x TILE_W pixel block (lane-aligned),
      processing entries in 8-row chunks (one VMEM row-block load + static
@@ -34,13 +35,30 @@ the classic splatting pipeline, re-shaped for TPU:
      so there is NO 1/(1-alpha) rollback division (the CUDA backward
      accumulates that drift over the whole list).
 
+Sub-column striping (the key capacity/throughput trick): the compositor
+tile is 32x128 pixels (VPU-shaped), but binning and capacity are per 32-px
+SUB-COLUMN (4 per tile). Each sweep step loads one slot-GROUP — the k-th
+entry of all 4 sub-columns — expands it to lane vectors (each entry's
+attributes broadcast over its own 32-lane stripe via one tiny matmul), and
+composites all 4 in the SAME (32, 128) vector op. A pixel only ever sees
+entries binned to its own sub-column, so per-pixel sweep depth is CAP/4
+while per-tile capacity stays CAP: 4x the effective coverage of tile-wide
+binning at the same instruction count. (With tile-wide binning, overflow
+keeps the nearest CAP entries of the WHOLE tile; in dense maps — 600k
+surfels is ~80x overdraw — those cluster on the near-depth side of the
+tile and the far-side pixels render EMPTY, which the mapper then
+misreads as uncovered space and floods with new spawns.)
+
 Deviations from the CUDA rasterizer (documented, not accidental):
-  * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped).
-  * a surfel's footprint is truncated to a KX*KY-tile window (256x64 px,
-    binning radius clamped to 15.5 px vertically); splats larger than that
-    are rare in fused SLAM maps (scale ~ 2px*d/f).
-  * per-tile entry capacity CAP is static; overflow drops the FARTHEST
-    surfels (entries are depth-sorted, and a tile that deep is saturated).
+  * tiles are 32x128 pixels (VPU-shaped), not 16x16 (warp-shaped); binning
+    granularity is the 32x32-px sub-column.
+  * a surfel's footprint is truncated to a KSUB*KY sub-column window
+    (64x64 px; binning radius clamped to 15.5 px horizontally / 31.5 px
+    vertically); splats larger than that are rare in fused SLAM maps
+    (scale ~ 2px*d/f).
+  * per-sub-column entry capacity CAP/4 is static; overflow drops the
+    FARTHEST surfels (entries are depth-sorted per sub-column, and a
+    sub-column that deep is saturated).
 """
 from __future__ import annotations
 
@@ -57,25 +75,23 @@ from eggfusion_tpu.ops import raster_common as rc
 
 import os as _os
 
-# Tile height is the compositor's main cost/quality trade dial when moved
-# TOGETHER with the entry cap: per-pixel sweep work = cap, and the cap a tile
-# needs for equal coverage scales with its area — so TILE_H 32 -> 16 with
-# cap 512 -> 256 keeps the same entries-per-pixel density at ~half the
-# per-pixel work. (Moving TILE_H alone at a FIXED cap is strictly worse:
-# TILE_H=8 at cap 512 measured 2.5x slower fwd, because 4x more tiles each
-# still saturate the oversized cap.) Overridable for experiments via env.
+# Tile height trades early-exit granularity vs per-instance overhead;
+# TILE_H=16 measured slower than 32 at equal cap on v5e (more grid
+# instances). Overridable for experiments via env.
 TILE_H = int(_os.environ.get("EGG_RASTER_TILE_H", 32))
 TILE_W = 128
-KX = 2  # candidate tile window, x (256 px: covers radius <= 63 px)
-KY = 2  # candidate tile window, y (2*TILE_H px: covers radius <=
-#         (2*TILE_H-1)/2 px — the binning radius is clamped to that; see
-#         _bin_entries. Binning sort cost AND the backward's back_map gather
-#         scale with KX*KY, so the window is the single biggest rasterizer
-#         cost knob.)
-BIN_RADIUS_MAX_Y = (KY * TILE_H - 1) / 2  # binning-extent clamp (px); alpha
-#         is NOT clamped — a taller splat just truncates to the KY-tile-row
-#         window, the same policy the fixed window applies to very wide splats
-CHUNK = 8  # entries per VMEM row-block load (and backward checkpoint period)
+SUB_W = 32  # binning/capacity sub-column width (stripe of the lane dim)
+N_SUB = TILE_W // SUB_W  # stripes per tile (4)
+KSUB = 2  # candidate window, x, in SUB-COLUMNS (64 px)
+KY = 2  # candidate window, y, in tile rows (2*TILE_H px). Binning sort cost
+#         AND the backward's back_map gather scale with KSUB*KY, so the
+#         window is the single biggest rasterizer cost knob.
+# binning-extent clamps (px): alpha is NOT clamped — a splat larger than the
+# window just truncates to it (same policy both axes)
+BIN_RADIUS_MAX_X = (KSUB * SUB_W - 1) / 2
+BIN_RADIUS_MAX_Y = (KY * TILE_H - 1) / 2
+CHUNK = 8  # slot-GROUPS per VMEM row-block load (rows = CHUNK*N_SUB = 32;
+#            also the backward checkpoint period, in slots)
 STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
 
 # entry attribute layout (lane index in the (CAP, 16) slab)
@@ -115,27 +131,55 @@ def _pixel_grid(t, tx_tiles, intr_ref):
     return xs, ys, rx, ry
 
 
-def _entry_alpha(ch, xs, ys):
-    """Alpha map of one entry row ch (16,)."""
-    dx = xs - ch[A_U]
-    dy = ys - ch[A_V]
-    power = -0.5 * (ch[A_CA] * dx * dx + ch[A_CC] * dy * dy) - ch[A_CB] * dx * dy
-    raw = ch[A_OP] * jnp.exp(power)
-    alpha = jnp.minimum(rc.MAX_ALPHA, raw) * ch[A_VAL]
+def _stripe_sel():
+    """(N_SUB, TILE_W) 0/1 selector: S[c, j] = 1 iff lane j is in stripe c."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, TILE_W), 1) // SUB_W
+    sub = jax.lax.broadcasted_iota(jnp.int32, (N_SUB, TILE_W), 0)
+    return (lane == sub).astype(jnp.float32)
+
+
+def _stripe_attrs(cg, S):
+    """Expand one slot-group (N_SUB, 16) to lane vectors (16, TILE_W).
+
+    Row a holds attribute a of each lane's OWN sub-column entry — one tiny
+    matmul against the stripe selector replaces 4 scalar broadcasts, and
+    every downstream (TILE_H, TILE_W) op then composites 4 entries at once,
+    each confined to its 32-lane stripe."""
+    return jax.lax.dot_general(
+        cg, S, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _group_alpha(attrs, xs, ys):
+    """Alpha map (TILE_H, TILE_W) of one striped slot-group (16, TILE_W)."""
+    dx = xs - attrs[A_U : A_U + 1, :]
+    dy = ys - attrs[A_V : A_V + 1, :]
+    ca = attrs[A_CA : A_CA + 1, :]
+    cb = attrs[A_CB : A_CB + 1, :]
+    cc = attrs[A_CC : A_CC + 1, :]
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    raw = attrs[A_OP : A_OP + 1, :] * jnp.exp(power)
+    alpha = jnp.minimum(rc.MAX_ALPHA, raw) * attrs[A_VAL : A_VAL + 1, :]
     return jnp.where(alpha >= rc.ALPHA_EPS, alpha, 0.0), raw, dx, dy
 
 
-def _entry_zpx(ch, rx, ry):
-    """Per-pixel ray/surfel-plane depth of one entry (matches raster_xla)."""
-    nx, ny, nz = ch[A_NX], ch[A_NY], ch[A_NZ]
-    px, py, pz = ch[A_PX], ch[A_PY], ch[A_PZ]
+def _group_zpx(attrs, rx, ry):
+    """Per-pixel ray/surfel-plane depth of one striped slot-group (matches
+    raster_xla)."""
+    nx = attrs[A_NX : A_NX + 1, :]
+    ny = attrs[A_NY : A_NY + 1, :]
+    nz = attrs[A_NZ : A_NZ + 1, :]
+    px = attrs[A_PX : A_PX + 1, :]
+    py = attrs[A_PY : A_PY + 1, :]
+    pz = attrs[A_PZ : A_PZ + 1, :]
     denom = rx * nx + ry * ny + nz
     pn = px * nx + py * ny + pz * nz
     denom_ok = jnp.abs(denom) >= 1e-6
     denom_safe = jnp.where(denom_ok, denom, 1e-6)
     z_plane = pn / denom_safe
     use_plane = (z_plane > rc.NEAR_Z) & denom_ok
-    return jnp.where(use_plane, z_plane, pz), denom_safe, pn, use_plane
+    z_fb = jnp.broadcast_to(pz, z_plane.shape)
+    return jnp.where(use_plane, z_plane, z_fb), denom_safe, pn, use_plane
 
 
 # --------------------------------------------------------------------------
@@ -144,13 +188,15 @@ def _entry_zpx(ch, rx, ry):
 
 
 def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
-    """Forward compositor.
+    """Forward striped compositor.
 
     `geom` composites only depth + opacity (no color/normal accumulation) —
     the per-frame fusion/spawn render (`core.mapper.map_update`) reads only
     those two channels, and dropping the other six halves the per-entry
     FMA work."""
-    n_chunks_max = cap // CHUNK
+    capsub = cap // N_SUB
+    n_chunks_max = capsub // CHUNK
+    rows = CHUNK * N_SUB  # slab rows per chunk (32)
 
     def kernel(counts_ref, intr_ref, entries_ref, *out_refs):
         if geom:
@@ -159,13 +205,19 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
             rgb_ref, nrm_ref, dep_ref, opa_ref, T_ref = out_refs[:5]
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
+        S = _stripe_sel()
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        count = jnp.minimum(counts_ref[t, 0], cap)
+        # loop bound = the DEEPEST sub-column's slot count
+        count = counts_ref[t, 0]
+        for c in range(1, N_SUB):
+            count = jnp.maximum(count, counts_ref[t, c])
+        count = jnp.minimum(count, capsub)
         n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
-        # chunked: one (CHUNK, 16) row-block load + static unroll per chunk
-        # amortizes the dynamic-slice / scalar-extract overhead 8x vs a
-        # per-entry loop. Rows past `count` carry A_VAL = 0 -> alpha 0.
+        # chunked: one (CHUNK*N_SUB, 16) row-block load + static unroll per
+        # chunk amortizes the dynamic-slice overhead; each unrolled step
+        # composites one slot-GROUP (4 striped entries) in one vector op.
+        # Rows past a sub-column's count carry A_VAL = 0 -> alpha 0.
         def cond(carry):
             i = carry[0]
             T = carry[-1]
@@ -176,18 +228,19 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
                 i, dep, opa, T = carry
             else:
                 i, r, g, b, nx, ny, nz, dep, opa, T = carry
-            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
+            ch = entries_ref[0, pl.ds(i * rows, rows), :]
             for k in range(CHUNK):
-                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
-                z_px, _, _, _ = _entry_zpx(ch[k], rx, ry)
+                attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
+                alpha, _, _, _ = _group_alpha(attrs, xs, ys)
+                z_px, _, _, _ = _group_zpx(attrs, rx, ry)
                 w = T * alpha
                 if not geom:
-                    r = r + w * ch[k, A_R]
-                    g = g + w * ch[k, A_G]
-                    b = b + w * ch[k, A_B]
-                    nx = nx + w * ch[k, A_NX]
-                    ny = ny + w * ch[k, A_NY]
-                    nz = nz + w * ch[k, A_NZ]
+                    r = r + w * attrs[A_R : A_R + 1, :]
+                    g = g + w * attrs[A_G : A_G + 1, :]
+                    b = b + w * attrs[A_B : A_B + 1, :]
+                    nx = nx + w * attrs[A_NX : A_NX + 1, :]
+                    ny = ny + w * attrs[A_NY : A_NY + 1, :]
+                    nz = nz + w * attrs[A_NZ : A_NZ + 1, :]
                 dep = dep + w * z_px
                 opa = opa + w
                 T = T * (1.0 - alpha)
@@ -221,7 +274,9 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
 
 
 def _make_bwd_kernel(tx_tiles: int, cap: int):
-    n_chunks_max = cap // CHUNK
+    capsub = cap // N_SUB
+    n_chunks_max = capsub // CHUNK
+    rows = CHUNK * N_SUB
 
     def kernel(
         counts_ref, intr_ref, entries_ref,
@@ -232,8 +287,12 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
     ):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
+        S = _stripe_sel()
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        count = jnp.minimum(counts_ref[t, 0], cap)
+        count = counts_ref[t, 0]
+        for c in range(1, N_SUB):
+            count = jnp.maximum(count, counts_ref[t, c])
+        count = jnp.minimum(count, capsub)
         n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
         dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
@@ -241,7 +300,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         # ---- phase 1: alpha-only forward re-sweep -> VMEM checkpoints ------
         # Same loop structure (incl. the early-exit predicate) as the forward
         # kernel, so `n_done` and every chunk-start T match the forward run
-        # bit-for-bit. ~1 MB of scratch; never touches HBM (an earlier
+        # bit-for-bit. ~256 KB of scratch; never touches HBM (an earlier
         # revision shipped these checkpoints through a forward output, a
         # ~220 MB HBM round trip per render at 220 tiles — slower than this
         # recompute, which is alpha-only: no channel accumulation).
@@ -252,9 +311,10 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         def body1(carry):
             i, T = carry
             T_ckpt[pl.ds(i * TILE_H, TILE_H), :] = T
-            ch = entries_ref[0, pl.ds(i * CHUNK, CHUNK), :]
+            ch = entries_ref[0, pl.ds(i * rows, rows), :]
             for k in range(CHUNK):
-                alpha, _, _, _ = _entry_alpha(ch[k], xs, ys)
+                attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
+                alpha, _, _, _ = _group_alpha(attrs, xs, ys)
                 T = T * (1.0 - alpha)
             return i + 1, T
 
@@ -284,31 +344,54 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         # scalar combination A_k = sum_c g_c c_k that galpha needs anyway:
         #     galpha_k = T_k A_k - B/(1-a_k);   B += w_k A_k.
         # One suffix image + 1 FMA replace eight suffix images, eight FMA
-        # updates and the nine-term recombination.
+        # updates and the nine-term recombination. B is per-pixel, and each
+        # pixel only ever sees its own stripe's entries, so one suffix image
+        # serves all 4 stripes.
         #
         # The 15 per-entry scalar gradients are reduced PER CHUNK, not per
-        # entry: each entry's reduction inputs are kept as images and the
-        # chunk's 8 images per attribute collapse in ONE (CHUNK, TH*TW)
-        # row-sum. Per-entry jnp.sum was the kernel's bottleneck — the
-        # reduction's fixed cost made the backward invariant to tile size
-        # (measured 21.9 ms per-entry vs 9.2 ms batched at TILE_H=16 on the
-        # isolated sweep kernel, and batching is what lets smaller tiles
-        # actually pay off).
+        # entry (per-entry jnp.sum was the kernel's bottleneck): the chunk's
+        # CHUNK group-images per attribute collapse with two constant-matrix
+        # matmuls — C (rows, CHUNK*TILE_H) picks each group's sublane block,
+        # the stripe mask + ones-vector matmul sums each row's own 32-lane
+        # stripe. All 2-D ops (Mosaic-friendly), MXU-cheap.
+        C_pick = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK * TILE_H), 1) // TILE_H
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK * TILE_H), 0) // N_SUB
+        ).astype(jnp.float32)
+        SM_rows = (
+            jax.lax.broadcasted_iota(jnp.int32, (rows, TILE_W), 1) // SUB_W
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, TILE_W), 0) % N_SUB
+        ).astype(jnp.float32)
+        ones_w = jnp.ones((TILE_W, 1), jnp.float32)
+
+        def _reduce_chunk(red_ins, j):
+            st = jnp.concatenate([red_ins[k][j] for k in range(CHUNK)], axis=0)
+            X = jax.lax.dot_general(
+                C_pick, st, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, TILE_W): row r = group r//N_SUB's sublane-summed image
+            return jax.lax.dot_general(
+                X * SM_rows, ones_w, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, 1): row r = sum over stripe r%N_SUB
+
         def body2(carry):
             ci, B = carry
-            ch = entries_ref[0, pl.ds(ci * CHUNK, CHUNK), :]
+            ch = entries_ref[0, pl.ds(ci * rows, rows), :]
             Tc = T_ckpt[pl.ds(ci * TILE_H, TILE_H), :]
 
-            alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], []
+            attrss, alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], [], []
             T = Tc
             for k in range(CHUNK):
-                alpha, raw, dx, dy = _entry_alpha(ch[k], xs, ys)
-                z_px, denom_safe, pn, use_plane = _entry_zpx(ch[k], rx, ry)
+                attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
+                alpha, raw, dx, dy = _group_alpha(attrs, xs, ys)
+                z_px, denom_safe, pn, use_plane = _group_zpx(attrs, rx, ry)
+                attrss.append(attrs)
                 alphas.append(alpha); raws.append(raw); dxs.append(dx); dys.append(dy)
                 zpxs.append(z_px); zaux.append((denom_safe, pn, use_plane)); Ts.append(T)
                 T = T * (1.0 - alpha)
 
-            red_ins = [None] * CHUNK  # per entry: list of 15 reduction images
+            red_ins = [None] * CHUNK  # per group: list of 15 reduction images
             for k in reversed(range(CHUNK)):
                 alpha = alphas[k]
                 Tk = Ts[k]
@@ -316,10 +399,14 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 inv1m = 1.0 / (1.0 - alpha)
                 z_px = zpxs[k]
                 denom_safe, pn, use_plane = zaux[k]
-                chk = ch[k]
+                attrs = attrss[k]
 
-                cr, cg, cb = chk[A_R], chk[A_G], chk[A_B]
-                nxs, nys, nzs = chk[A_NX], chk[A_NY], chk[A_NZ]
+                cr = attrs[A_R : A_R + 1, :]
+                cg = attrs[A_G : A_G + 1, :]
+                cb = attrs[A_B : A_B + 1, :]
+                nxs = attrs[A_NX : A_NX + 1, :]
+                nys = attrs[A_NY : A_NY + 1, :]
+                nzs = attrs[A_NZ : A_NZ + 1, :]
 
                 # A_k = sum_c g_c * c_k (opacity channel c = 1, depth c = z_px)
                 A = (
@@ -333,10 +420,14 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 galpha = jnp.where(live, galpha, 0.0)
 
                 # chain into splat params: alpha = op * exp(power)
-                expp = jnp.where(live, raws[k] / jnp.maximum(chk[A_OP], 1e-12), 0.0)
+                expp = jnp.where(
+                    live, raws[k] / jnp.maximum(attrs[A_OP : A_OP + 1, :], 1e-12), 0.0
+                )
                 gP = galpha * alpha  # d(alpha)/d(power) = alpha (unclamped)
                 dx, dy = dxs[k], dys[k]
-                ca, cb2, cc = chk[A_CA], chk[A_CB], chk[A_CC]
+                ca = attrs[A_CA : A_CA + 1, :]
+                cb2 = attrs[A_CB : A_CB + 1, :]
+                cc = attrs[A_CC : A_CC + 1, :]
 
                 # depth channel: z_px = use_plane ? (p.n)/(ray.n) : p_z
                 gz = g_dep * w
@@ -355,9 +446,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                     g_r * w,                              # g_cr
                     g_g * w,                              # g_cg
                     g_b * w,                              # g_cb_col
-                    g_nx * w + g_pn * chk[A_PX] + g_den * rx,  # g_nx_e
-                    g_ny * w + g_pn * chk[A_PY] + g_den * ry,  # g_ny_e
-                    g_nz * w + g_pn * chk[A_PZ] + g_den,       # g_nz_e
+                    g_nx * w + g_pn * attrs[A_PX : A_PX + 1, :] + g_den * rx,  # g_nx_e
+                    g_ny * w + g_pn * attrs[A_PY : A_PY + 1, :] + g_den * ry,  # g_ny_e
+                    g_nz * w + g_pn * attrs[A_PZ : A_PZ + 1, :] + g_den,       # g_nz_e
                     g_pn * nxs,                           # g_px
                     g_pn * nys,                           # g_py
                     g_pn * nzs + gz_fb,                   # g_pz
@@ -365,14 +456,11 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
                 B = B + w * A
 
-            cols = []
-            for j in range(15):
-                st = jnp.concatenate([red_ins[k][j] for k in range(CHUNK)], axis=0)
-                cols.append(jnp.sum(st.reshape(CHUNK, TILE_H * TILE_W), axis=1))
+            cols = [_reduce_chunk(red_ins, j) for j in range(15)]
             # g_op carries the entry-valid factor (rows past count -> 0)
-            cols[5] = cols[5] * ch[:, A_VAL]
-            cols.append(jnp.zeros((CHUNK,), jnp.float32))
-            dent_ref[0, pl.ds(ci * CHUNK, CHUNK), :] = jnp.stack(cols, axis=1)
+            cols[5] = cols[5] * ch[:, A_VAL : A_VAL + 1]
+            cols.append(jnp.zeros((rows, 1), jnp.float32))
+            dent_ref[0, pl.ds(ci * rows, rows), :] = jnp.concatenate(cols, axis=1)
             return (ci - 1, B)
 
         def cond2(carry):
@@ -396,7 +484,7 @@ def _make_geom_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bo
     tx_tiles = wp // TILE_W
     img = lambda: jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     blk1 = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda t: (t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
-    counts_spec = pl.BlockSpec((n_tiles, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    counts_spec = pl.BlockSpec((n_tiles, N_SUB), lambda t: (0, 0), memory_space=pltpu.SMEM)
     intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
     entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
@@ -416,7 +504,7 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
     img = lambda c: jax.ShapeDtypeStruct((c, hp, wp), jnp.float32) if c else jax.ShapeDtypeStruct((hp, wp), jnp.float32)
     blk3 = lambda: pl.BlockSpec((3, TILE_H, TILE_W), lambda t: (0, t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
     blk1 = lambda: pl.BlockSpec((TILE_H, TILE_W), lambda t: (t // tx_tiles, t % tx_tiles), memory_space=pltpu.VMEM)
-    counts_spec = pl.BlockSpec((n_tiles, 1), lambda t: (0, 0), memory_space=pltpu.SMEM)
+    counts_spec = pl.BlockSpec((n_tiles, N_SUB), lambda t: (0, 0), memory_space=pltpu.SMEM)
     intr_spec = pl.BlockSpec((1, 4), lambda t: (0, 0), memory_space=pltpu.SMEM)
     entries_spec = pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM)
 
@@ -438,7 +526,9 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
                   blk1()],
         out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
-        scratch_shapes=[pltpu.VMEM(((cap // CHUNK) * TILE_H, TILE_W), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM(((cap // (N_SUB * CHUNK)) * TILE_H, TILE_W), jnp.float32)
+        ],
         interpret=interpret,
     )
 
@@ -469,97 +559,107 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
 # --------------------------------------------------------------------------
 
 
-DEPTH_BITS = 21
+DEPTH_BITS = 19  # 0.23 mm buckets over [0, DEPTH_FAR); 13 bits of subtile id
 DEPTH_FAR = 120.0  # quantization range upper bound (m)
 
 
 def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
                  need_back: bool = True):
-    """Fixed-window tile binning via ONE fused (tile, depth) radix key.
+    """Fixed-window SUB-COLUMN binning via ONE fused (subtile, depth) key.
 
     The CUDA rasterizer builds 64-bit keys (tile << 32 | float_bits(depth))
     and radix-sorts the duplicated entries. Here: uint32 keys
-    (tile << 21 | quantized_depth), one `lax.sort` with the candidate index
-    as payload, and one inverse sort — no depth pre-sort, no scatters, and
-    (unlike naive argsort+gather chains) only two O(N*K) sorts total.
+    (subtile << 19 | quantized_depth) where subtile = tile * N_SUB + 32-px
+    sub-column, one `lax.sort` with the candidate index as payload, and one
+    inverse sort — no depth pre-sort, no scatters, and (unlike naive
+    argsort+gather chains) only two O(N*K) sorts total. Capacity is
+    cap/N_SUB per sub-column; slab rows interleave sub-columns
+    (row = slot * N_SUB + subcol) so the compositor loads one slot-GROUP
+    per step.
 
     Returns:
-      entry_sid (T, CAP) i32 — ORIGINAL surfel index per entry slot
-      counts    (T, 1)   i32
-      back_map  (N, K)   i32 — flat entry slot (tile*cap + slot) of each
-                 surfel's k-th candidate, or -1 if culled/overflowed. This is
-                 the exact inverse of the expansion: the custom-VJP backward
-                 gathers through it instead of letting XLA emit a serialized
-                 scatter-add transpose (the TPU-killer of naive autodiff
-                 through the gather). `need_back=False` (forward-only
-                 renders) skips the inverse sort that builds it (~1/2 of the
-                 binning sort cost) and returns None.
+      entry_sid (T, CAP) i32 — ORIGINAL surfel index per slab row
+      counts    (T, N_SUB) i32 — per-sub-column slot counts
+      back_map  (N, K)   i32 — flat slab row (tile*cap + slot*N_SUB + subcol)
+                 of each surfel's k-th candidate, or -1 if culled/overflowed.
+                 This is the exact inverse of the expansion: the custom-VJP
+                 backward gathers through it instead of letting XLA emit a
+                 serialized scatter-add transpose (the TPU-killer of naive
+                 autodiff through the gather). `need_back=False`
+                 (forward-only renders) skips the inverse sort that builds
+                 it (~1/2 of the binning sort cost) and returns None.
     """
     n = mean2d.shape[-1]
+    capsub = cap // N_SUB
+    n_sub = n_tiles * N_SUB
+    sx_tiles = tx_tiles * N_SUB  # sub-columns per image row
     u = mean2d[0]
     v = mean2d[1]
-    r = radius
-    ry = jnp.minimum(r, BIN_RADIUS_MAX_Y)  # keep the y-span within KY rows
-    tx0 = jnp.clip(jnp.floor((u - r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
+    rx = jnp.minimum(radius, BIN_RADIUS_MAX_X)  # keep x-span within KSUB cols
+    ry = jnp.minimum(radius, BIN_RADIUS_MAX_Y)  # keep y-span within KY rows
+    sx0 = jnp.clip(jnp.floor((u - rx) / SUB_W).astype(jnp.int32), 0, sx_tiles - 1)
     ty0 = jnp.clip(jnp.floor((v - ry) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
-    tx1 = jnp.clip(jnp.floor((u + r) / TILE_W).astype(jnp.int32), 0, tx_tiles - 1)
+    sx1 = jnp.clip(jnp.floor((u + rx) / SUB_W).astype(jnp.int32), 0, sx_tiles - 1)
     ty1 = jnp.clip(jnp.floor((v + ry) / TILE_H).astype(jnp.int32), 0, ty_tiles - 1)
     # truncate footprint to the fixed window
-    tx1 = jnp.minimum(tx1, tx0 + KX - 1)
+    sx1 = jnp.minimum(sx1, sx0 + KSUB - 1)
     ty1 = jnp.minimum(ty1, ty0 + KY - 1)
 
     qmax = (1 << DEPTH_BITS) - 1
     qdepth = jnp.clip(depth * (qmax / DEPTH_FAR), 0, qmax).astype(jnp.uint32)
 
-    K = KX * KY
-    assert n_tiles < (1 << 10), "tile id must fit the uint32 key budget"
+    K = KSUB * KY
+    assert n_sub < (1 << (32 - DEPTH_BITS)), "subtile id must fit the key budget"
     keys = []
     for ky in range(KY):
-        for kx in range(KX):
-            tx = tx0 + kx
+        for kx in range(KSUB):
+            sx = sx0 + kx
             ty = ty0 + ky
-            ok = valid & (tx <= tx1) & (ty <= ty1)
-            tile = jnp.where(ok, ty * tx_tiles + tx, n_tiles).astype(jnp.uint32)
-            keys.append((tile << DEPTH_BITS) | qdepth)
+            ok = valid & (sx <= sx1) & (ty <= ty1)
+            # subtile id = tile * N_SUB + subcol, row-major over tiles
+            tile = ty * tx_tiles + sx // N_SUB
+            subtile = jnp.where(ok, tile * N_SUB + sx % N_SUB, n_sub).astype(jnp.uint32)
+            keys.append((subtile << DEPTH_BITS) | qdepth)
     keys = jnp.stack(keys, axis=-1).reshape(-1)  # (N*K,) surfel-major
 
     nk = n * K
     iota = jnp.arange(nk, dtype=jnp.int32)
     skeys, sorted_j = jax.lax.sort((keys, iota), num_keys=1)
-    sorted_tile = (skeys >> DEPTH_BITS).astype(jnp.int32)
+    sorted_sub = (skeys >> DEPTH_BITS).astype(jnp.int32)
     sorted_sid = sorted_j // K  # ORIGINAL surfel index (candidates surfel-major)
 
-    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
-    starts = jnp.searchsorted(sorted_tile, tile_ids, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile, tile_ids, side="right").astype(jnp.int32)
-    counts = jnp.minimum(ends - starts, cap)
+    sub_ids = jnp.arange(n_sub, dtype=jnp.int32)
+    starts = jnp.searchsorted(sorted_sub, sub_ids, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_sub, sub_ids, side="right").astype(jnp.int32)
+    counts = jnp.minimum(ends - starts, capsub).reshape(n_tiles, N_SUB)
 
-    pos = starts[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-    entry_sid = sorted_sid[jnp.clip(pos, 0, nk - 1)]
+    # slab row (t, slot*N_SUB + c) <- sorted position starts[t, c] + slot
+    pos = starts.reshape(n_tiles, 1, N_SUB) + jnp.arange(capsub, dtype=jnp.int32).reshape(1, capsub, 1)
+    entry_sid = sorted_sid[jnp.clip(pos.reshape(n_tiles, cap), 0, nk - 1)]
 
     if not need_back:
-        return entry_sid, counts[:, None], None
+        return entry_sid, counts, None
 
-    # Per-sorted-position tile slot WITHOUT gathering starts per candidate
-    # (starts[tile_of_candidate] is an N*K random gather from a tiny table —
-    # ~37 ms at 600k surfels on v5e; the cummax segment-start scan is ~1 ms):
-    # a position's segment start is the last position where the tile id
-    # changed, so slot = pos - cummax(pos * is_boundary).
+    # Per-sorted-position sub-column slot WITHOUT gathering starts per
+    # candidate (starts[sub_of_candidate] is an N*K random gather from a tiny
+    # table — ~37 ms at 600k surfels on v5e; the cummax segment-start scan is
+    # ~1 ms): a position's segment start is the last position where the
+    # subtile id changed, so slot = pos - cummax(pos * is_boundary).
     is_start = jnp.concatenate(
-        [jnp.ones((1,), bool), sorted_tile[1:] != sorted_tile[:-1]]
+        [jnp.ones((1,), bool), sorted_sub[1:] != sorted_sub[:-1]]
     )
     seg_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     slot_sorted = iota - seg_start
     flat_sorted = jnp.where(
-        (sorted_tile < n_tiles) & (slot_sorted < cap),
-        sorted_tile * cap + slot_sorted,
+        (sorted_sub < n_sub) & (slot_sorted < capsub),
+        (sorted_sub // N_SUB) * cap + slot_sorted * N_SUB + sorted_sub % N_SUB,
         -1,
     )
     # inverse permutation: sorting sorted_j back to iota carries each entry's
     # flat slot to its candidate position (payload ride-along, no extra gather)
     _, back_flat = jax.lax.sort((sorted_j, flat_sorted), num_keys=1)
     back_map = back_flat.reshape(n, K)  # (N, K), original order
-    return entry_sid, counts[:, None], back_map
+    return entry_sid, counts, back_map
 
 
 @jax.custom_vjp
@@ -605,8 +705,8 @@ class Binning(NamedTuple):
     below a tile, while the two N*K-key sorts that build this are ~22 ms per
     render at 600k capacity."""
 
-    entry_sid: jnp.ndarray  # (T, CAP) i32
-    counts: jnp.ndarray  # (T, 1) i32
+    entry_sid: jnp.ndarray  # (T, CAP) i32, rows interleave sub-columns
+    counts: jnp.ndarray  # (T, N_SUB) i32 per-sub-column slot counts
     back_map: jnp.ndarray  # (N, K) i32
 
 
@@ -651,6 +751,9 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
                        sh_degree: int, cap: int, interpret: bool,
                        binning: Binning | None = None, geom_only: bool = False,
                        need_grad: bool = True, tile_keep: jnp.ndarray | None = None) -> dict:
+    assert cap % (N_SUB * CHUNK) == 0, (
+        f"cap must be a multiple of {N_SUB * CHUNK} (sub-column slot chunks)"
+    )
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
     tx_tiles = wp // TILE_W
@@ -692,15 +795,17 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
         # count 0 — their compositor instances exit immediately (forward AND
         # backward), so the kernel cost scales with the kept fraction. Their
         # pixels come back zero; pair with `tile_pixel_mask` in the loss.
-        counts = jnp.where(tile_keep[:, None], counts, 0)
+        counts = jnp.where(tile_keep[:, None], counts, 0)  # (T, N_SUB)
 
     if back_map is None:  # forward-only render: plain gather, no custom VJP
         entries = attrs[entry_sid]
     else:
         entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
-    # rows past a tile's count can be read by its LAST 8-entry chunk: zero
-    # their A_VAL so their alpha vanishes (other lanes can stay garbage)
-    entry_valid = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts
+    # rows past a sub-column's count are still read by the lockstep sweep:
+    # zero their A_VAL so their alpha vanishes (other lanes can stay garbage).
+    # Slab row r belongs to sub-column r % N_SUB at slot r // N_SUB.
+    row = jnp.arange(cap, dtype=jnp.int32)
+    entry_valid = (row // N_SUB)[None, :] < counts[:, row % N_SUB]
     entries = entries.at[..., A_VAL].set(entry_valid.astype(jnp.float32))
 
     if geom_only:

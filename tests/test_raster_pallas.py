@@ -2,7 +2,7 @@
 
 On CPU the kernel runs in interpreter mode; the same code path compiles via
 Mosaic on TPU (covered by bench / TPU runs). Comparisons mask to pixels with
-meaningful coverage: the fixed KX*KY-tile footprint window truncates
+meaningful coverage: the fixed KSUB*KY sub-column footprint window truncates
 oversized splats at fringe pixels whose normalized depth/normal then differ
 from the golden render by design (raster_pallas.py module docstring).
 """
@@ -17,10 +17,16 @@ from eggfusion_tpu.ops.raster_pallas import render_pallas
 
 W, H = 160, 96
 INTR = jnp.asarray([100.0, 100.0, W / 2 - 0.5, H / 2 - 0.5])
-CAP = 128
+# capacity is per 32-px SUB-COLUMN (CAP / N_SUB slots); the central
+# sub-columns of this scene carry up to 33 entries, so CAP=256 (64 slots)
+# keeps the parity fixtures clear of the documented farthest-drop overflow
+CAP = 256
 
 
-def _random_scene(n=64, seed=0, scale_range=(0.02, 0.08)):
+def _random_scene(n=64, seed=0, scale_range=(0.01, 0.045)):
+    # scale_range keeps 3-sigma radii <= ~13.5 px at f=100/z>=1 — inside the
+    # KSUB*KY window's guaranteed-coverage radius of 15.5 px (production
+    # splats are ~6-10 px; larger ones truncate by documented policy)
     rng = np.random.default_rng(seed)
     cfg = sf.SurfelConfig(capacity=2 * n, max_sh_degree=0, active_sh_degree=0)
     s = sf.SurfelMap.empty(cfg)
@@ -188,8 +194,8 @@ class TestCapacityOverflow:
         )
         s = sf.append_surfels(s, batch, jnp.int32(0), 0.99)
         params = sf.render_params(s)
-        out_full = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=64)
-        out_cut = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=8)
+        out_full = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=128)
+        out_cut = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0, cap=32)
         cy, cx = H // 2, W // 2
         # with opacity 0.99, the front few surfels decide the pixel
         np.testing.assert_allclose(
