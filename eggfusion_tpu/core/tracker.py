@@ -204,8 +204,17 @@ class Tracker:
         # free-running on the drifted frame-to-frame estimate. 0 disables.
         self.recover_after = int(t.get("recover_after", 3))
         self._fail_streak = 0
-        self._conv_ref = None  # async device->host copy of last converged flag
-        self._pending_pose = None  # pose committed alongside _conv_ref
+        # pipelined converged-flag readbacks: each frame's flag is an async
+        # device->host copy consumed only once it is `readback_lag` frames
+        # old. Lag 1 keeps host and device in lockstep (the read blocks until
+        # the device catches up — a full tunnel round trip per frame on
+        # remote-attached TPUs); lag N lets the host run N frames ahead so
+        # the device queue never drains. Cost: recovery triggers N-1 frames
+        # later than lag 1 would.
+        self.readback_lag = max(1, int(t.get("readback_lag", 3)))
+        from collections import deque
+
+        self._conv_pending: deque = deque()  # (converged_ref, pose) oldest first
         self.last_good_w2c = None  # last pose whose dense solve converged
         self.initialized = False
         self._prev_w2c = None
@@ -238,19 +247,19 @@ class Tracker:
         return jnp.eye(4, dtype=jnp.float32)
 
     def _update_fail_streak(self) -> None:
-        """Fold in the PREVIOUS frame's converged flag (the async copy has
-        had a full frame of compute to finish — reading it now is free)."""
-        if self._conv_ref is None:
-            return
+        """Fold in converged flags that are at least `readback_lag` frames
+        old (their async copies have had that many frames of device compute
+        to finish — reading them is free, and never forces host/device
+        lockstep)."""
         import numpy as np
 
-        if bool(np.asarray(self._conv_ref)):
-            self._fail_streak = 0
-            self.last_good_w2c = self._pending_pose
-        else:
-            self._fail_streak += 1
-        self._conv_ref = None
-        self._pending_pose = None
+        while len(self._conv_pending) >= self.readback_lag:
+            conv_ref, pose = self._conv_pending.popleft()
+            if bool(np.asarray(conv_ref)):
+                self._fail_streak = 0
+                self.last_good_w2c = pose
+            else:
+                self._fail_streak += 1
 
     def needs_recovery(self) -> bool:
         """True when dense tracking has failed `recover_after` frames in a
@@ -263,7 +272,7 @@ class Tracker:
         previous-frame velocity is meaningless)."""
         self._prev_prev_w2c = None
         self._fail_streak = 0
-        self._conv_ref = None
+        self._conv_pending.clear()
 
     def tracking(self, frame, model_map) -> None:
         """Main tracking entry (reference `tracker.py:175-192`)."""
@@ -284,12 +293,12 @@ class Tracker:
         )
         frame.tracking_converged = converged  # device scalar; sync-free
         if self.recover_after > 0:
-            # start an async copy; folded into the fail streak NEXT frame so
-            # the steady-state path never blocks on a device round-trip
-            self._conv_ref = converged
-            self._pending_pose = curr
+            # start an async copy; folded into the fail streak once it is
+            # `readback_lag` frames old, so the steady-state path never
+            # blocks on a device round-trip OR on device progress
+            self._conv_pending.append((converged, curr))
             try:
-                self._conv_ref.copy_to_host_async()
+                converged.copy_to_host_async()
             except Exception:
                 pass
         frame.update_transform_matrix(curr)

@@ -353,8 +353,11 @@ class SyntheticDataset(RGBDDataset):
         # tunnel-attached dev TPUs it also avoids a pathological host link.
         self._device = bool(config.Dataset.get("device_frames", False))
         self._frames = []
+        detail = float(config.Dataset.get("texture_detail", 0.0))
         for i in range(self._unique):
-            color, depth = syn.render_corner_scene_jit(self.intrinsics, self.poses[i])
+            color, depth = syn.render_corner_scene_jit(
+                self.intrinsics, self.poses[i], detail=detail
+            )
             if self._device:
                 self._frames.append((color, depth))
             else:

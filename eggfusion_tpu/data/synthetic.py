@@ -50,21 +50,37 @@ _PLANES = np.array(
 )
 
 
-def _texture(p: jnp.ndarray) -> jnp.ndarray:
-    """Smooth 3-channel procedural texture of world position (..., 3) -> (..., 3)."""
+def _texture(p: jnp.ndarray, detail: float = 0.0) -> jnp.ndarray:
+    """Smooth 3-channel procedural texture of world position (..., 3) -> (..., 3).
+
+    `detail` > 0 adds a high-frequency speckle layer (product of incommensurate
+    sinusoids, sharpened by tanh) that gives corner detectors something to bite
+    on — the smooth base texture has no FAST corners at test resolutions. Off by
+    default so established fixtures/benchmarks are unchanged.
+    """
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
     r = 0.5 + 0.35 * jnp.sin(2.1 * x + 0.7) * jnp.cos(1.7 * y)
     g = 0.5 + 0.35 * jnp.sin(1.3 * y + 2.9 * z)
     b = 0.5 + 0.35 * jnp.cos(2.3 * z + 1.1 * x + 0.4)
-    return jnp.clip(jnp.stack([r, g, b], axis=-1), 0.0, 1.0)
+    tex = jnp.stack([r, g, b], axis=-1)
+    if detail > 0.0:
+        s = (
+            jnp.tanh(4.0 * jnp.sin(37.0 * x) * jnp.sin(29.0 * y + 1.3) * jnp.sin(41.0 * z + 0.7))
+            + 0.5 * jnp.tanh(4.0 * jnp.sin(61.0 * x + 2.1) * jnp.sin(53.0 * z))
+        )
+        tex = tex + detail * s[..., None]
+    return jnp.clip(tex, 0.0, 1.0)
 
 
-def render_corner_scene(intr: CameraIntrinsics, w2c) -> tuple[jnp.ndarray, jnp.ndarray]:
+def render_corner_scene(
+    intr: CameraIntrinsics, w2c, detail: float = 0.0
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Analytically ray-cast the corner scene from pose `w2c`.
 
     Returns (color (H, W, 3) in [0, 1], depth (H, W, 1) metric).
     For a convex region the first surface hit is the minimum positive
-    plane-intersection depth.
+    plane-intersection depth. `detail` adds high-frequency texture (see
+    `_texture`).
     """
     w2c = jnp.asarray(w2c, jnp.float32)
     H, W = intr.height, intr.width
@@ -86,7 +102,7 @@ def render_corner_scene(intr: CameraIntrinsics, w2c) -> tuple[jnp.ndarray, jnp.n
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
 
     p_w = cam_center[None, None, :] + depth[..., None] * rays_w
-    color = _texture(p_w)
+    color = _texture(p_w, detail)
     color = jnp.where(depth[..., None] > 0, color, 0.0)
     return color, depth[..., None]
 
@@ -145,4 +161,4 @@ def make_sequence(n_frames: int = 30, width: int = 160, height: int = 120) -> Sy
     )
 
 
-render_corner_scene_jit = jax.jit(render_corner_scene, static_argnames=("intr",))
+render_corner_scene_jit = jax.jit(render_corner_scene, static_argnames=("intr", "detail"))

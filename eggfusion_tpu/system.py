@@ -143,6 +143,12 @@ class EGGFusion:
         self.traj = {"ts": [], "ref": [], "est": []}
         self.metrics = []  # per-frame observability records
 
+        # descriptor-indexed relocalization (reference: ORB-SLAM2 keyframe
+        # database + Relocalization, `tracker.py:85-122`); lazy so the native
+        # build is only required if recovery ever fires
+        self._reloc = None
+        self._reloc_enabled = bool(cfg.Tracking.get("reloc_descriptors", True))
+
         # render + postprocess fused into ONE program: skips a dispatch and
         # the HBM round-trip of the four intermediate full-res render maps
         from eggfusion_tpu.core import surfels as _sf
@@ -208,17 +214,41 @@ class EGGFusion:
         )
         return {"transform": w2c, "pyramid": pyramid}
 
-    def _recover_tracking(self) -> bool:
+    def _recover_tracking(self, frame=None) -> bool:
         """Re-anchor tracking after a failure streak (VERDICT r1 #7; extends
         the reference's per-frame fallback contract, `tracker.py:153-170`,
-        which free-runs with no recovery path). The model view is re-rendered
-        at the last CONVERGED pose (clean render, no corrupted-frame fill-in)
-        — or the last keyframe if no converged pose exists — and the motion
-        model is cleared; the next dense solve re-locks against that anchor.
-        A cheap stand-in for ORB-SLAM2 relocalization."""
-        anchor, anchor_id = self.tracker.last_good_w2c, -1
+        which free-runs with no recovery path).
+
+        Anchor choice, best first:
+          1. descriptor relocalization — match the lost frame's FAST+BRIEF
+             descriptors against the keyframe database and solve the full
+             pose vs the best-matching keyframe (reference: ORB-SLAM2
+             Relocalization, `tracker.py:85-122`);
+          2. the last pose whose dense solve converged;
+          3. the last keyframe.
+        The model view is re-rendered at the anchor (clean render, no
+        corrupted-frame fill-in) and the motion model cleared; the next
+        dense solve re-locks against it."""
+        km = self.mapper.keyframe_manager
+        anchor = anchor_id = None
+        reloc_inliers = 0
+        if frame is not None and self._reloc_enabled and km.keyframes:
+            if self._reloc is None:
+                try:
+                    from eggfusion_tpu.core.reloc import DescriptorRelocalizer
+
+                    self._reloc = DescriptorRelocalizer(self.cfg)
+                except Exception as e:  # pragma: no cover - build-env dependent
+                    print(f"descriptor relocalization unavailable ({e})")
+                    self._reloc_enabled = False
+            if self._reloc is not None:
+                hit = self._reloc.relocalize(frame, km.keyframes)
+                if hit is not None:
+                    w2c, anchor_id, reloc_inliers = hit
+                    anchor = jnp.asarray(w2c)
         if anchor is None:
-            km = self.mapper.keyframe_manager
+            anchor, anchor_id = self.tracker.last_good_w2c, -1
+        if anchor is None:
             ids = km.ids()
             if not ids:
                 return False
@@ -226,13 +256,16 @@ class EGGFusion:
             anchor, anchor_id = jnp.asarray(kf.w2c), kf.uid
         self.model_map = self._model_map_at(jnp.asarray(anchor))
         self.tracker.reset_motion()
-        self.metrics.append({"frame": -1, "recovered_to_kf": anchor_id})
+        rec = {"frame": -1, "recovered_to_kf": anchor_id}
+        if reloc_inliers:
+            rec["reloc_inliers"] = reloc_inliers
+        self.metrics.append(rec)
         return True
 
     def reconstruct(self, frame: Frame) -> None:
         t0 = _time.perf_counter()
         if self.model_map is not None and self.tracker.needs_recovery():
-            self._recover_tracking()
+            self._recover_tracking(frame)
         self.tracker.tracking(frame, self.model_map)
         t1 = _time.perf_counter()
         self.preprocess(frame)
@@ -451,11 +484,23 @@ class EGGFusion:
             return {}
 
         def nanmean(vals):
+            # non-numeric entries are availability messages (e.g. LPIPS
+            # without local weights) — pass the message through unchanged
+            msgs = [v for v in vals if isinstance(v, str)]
+            if msgs:
+                return msgs[0]
             vals = [v for v in vals if np.isfinite(v)]
-            return float(np.mean(vals)) if vals else float("nan")
+            return float(np.mean(vals)) if vals else None  # None = strict JSON
 
         agg = {k: nanmean([r[k] for r in results]) for k in results[0]}
+        san = lambda v: v if isinstance(v, str) or v is None or np.isfinite(v) else None
         with open(os.path.join(self.save_dir, "render_metrics.json"), "w") as f:
-            json.dump({"per_keyframe": results, "mean": agg}, f, indent=2)
+            json.dump(
+                {
+                    "per_keyframe": [{k: san(v) for k, v in r.items()} for r in results],
+                    "mean": agg,
+                },
+                f, indent=2,
+            )
         print("Render metrics:", agg)
         return agg

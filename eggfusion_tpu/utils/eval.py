@@ -159,11 +159,19 @@ def eval_render(ref_color, ref_depth, est_color, est_depth) -> dict:
         "ms_ssim": ms_ssim(ec, rc),
         "depth_l1": depth_l1(est_depth, ref_depth),
     }
-    out["lpips"] = _lpips(ec, rc)
+    lp = _lpips(ec, rc)
+    if lp is None:
+        # VERDICT r2 #8: say WHY rather than emitting a silent NaN — the
+        # env has no local AlexNet weights and zero egress to fetch them
+        out["lpips"] = "unavailable (no local AlexNet weights)"
+    else:
+        out["lpips"] = lp
     return out
 
 
-def _lpips(est: np.ndarray, ref: np.ndarray) -> float:
+def _lpips(est: np.ndarray, ref: np.ndarray) -> float | None:
+    """LPIPS(alex) (reference metric, `eval_utils.py:107`) or None when the
+    pretrained weights are unavailable (offline environment)."""
     try:  # pragma: no cover - depends on local torch weights
         import torch
         from torchmetrics.image.lpip import LearnedPerceptualImagePatchSimilarity
@@ -173,4 +181,4 @@ def _lpips(est: np.ndarray, ref: np.ndarray) -> float:
         r = torch.from_numpy(np.ascontiguousarray(ref, np.float32)).permute(2, 0, 1)[None]
         return float(metric(e.clamp(0, 1), r.clamp(0, 1)))
     except Exception:
-        return float("nan")
+        return None

@@ -234,3 +234,44 @@ class TestScanNetPPFixture:
         for i in range(N_FRAMES):
             np.testing.assert_allclose(ds.poses[i], poses[i], atol=1e-9)
         _check_run(cfg, poses, ate_tol=1.0)
+
+
+class TestAzureFixture:
+    def test_end_to_end(self, frames, tmp_path):
+        """Azure Kinect offline tree (VERDICT r2 #8): `color/*.jpg` +
+        `depth/*.png` in millimetres, no GT poses (reference
+        `AzureKinectParser/Dataset`, `dataset.py:296-345`). The run
+        free-tracks from identity; we validate decode/scale/resize and that
+        the pipeline completes with a live map."""
+        colors, depths, _poses = frames
+        root = tmp_path / "azure"
+        (root / "color").mkdir(parents=True)
+        (root / "depth").mkdir()
+        scale = 1000.0  # Azure depth is uint16 mm
+        from PIL import Image
+
+        for i in range(N_FRAMES):
+            Image.fromarray(colors[i]).save(
+                root / "color" / f"{i:06d}.jpg", quality=98
+            )
+            _save_png(root / "depth" / f"{i:06d}.png",
+                      np.round(depths[i] * scale).astype(np.uint16))
+
+        cfg = _cfg({"type": "azure", "dataset_path": str(root), "scene": "fx"},
+                   tmp_path, scale)
+        ds = load_dataset(cfg)
+        assert len(ds) == N_FRAMES
+        ts, color, dep, mask, pose = ds[0]
+        # Azure ships no trajectory: parser must report identity poses
+        np.testing.assert_array_equal(pose, np.eye(4))
+        assert color.shape == (H, W, 3) and dep.shape == (H, W)
+        np.testing.assert_allclose(dep / scale, depths[0], atol=2.0 / scale)
+        assert np.abs(color.astype(np.float32) - colors[0]).mean() < 6.0  # jpg
+
+        ef = run(cfg, verbose=False)
+        assert int(ef.mapper.surfels.num_active()) > 100
+        assert len(ef.traj["est"]) == N_FRAMES
+        # frame-to-frame motion in this fixture is mm-scale; the estimated
+        # trajectory must stay bounded (no free-run blowup without GT)
+        est = np.asarray(ef.traj["est"])[:, :3, 3]
+        assert np.linalg.norm(est, axis=1).max() < 0.5

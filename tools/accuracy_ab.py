@@ -25,15 +25,34 @@ import time
 sys.path.insert(0, ".")
 
 
+def _r(v, nd):
+    """Round, mapping None/non-finite to None so the JSON stays strict."""
+    import math
+
+    if v is None:
+        return None
+    v = float(v)
+    return round(v, nd) if math.isfinite(v) else None
+
+
 def one_run(name, tracking, mapping, width, height, n_frames):
+    import shutil
+
     from eggfusion_tpu import config as cfglib
     from eggfusion_tpu.main import run
 
+    save_dir = f"results/ab_{name}"
+    # ADVICE r2: rotate the save_dir so a failed run can't silently report a
+    # stale render_metrics.json from a previous invocation
+    shutil.rmtree(save_dir, ignore_errors=True)
     cfg = cfglib.default_config(
         Dataset={
             "type": "synthetic",
             "n_frames": n_frames,
-            "unique_frames": 16,
+            # fully unique frames: cycling poses (bench-style unique_frames)
+            # insert a large pose jump at every wrap — fine for a throughput
+            # bench, disqualifying for a quality/accuracy measurement
+            "unique_frames": n_frames,
             "device_frames": True,
             "preload": False,
             "Calibration": {
@@ -45,9 +64,12 @@ def one_run(name, tracking, mapping, width, height, n_frames):
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
         Tracking=tracking,
         Mapping=mapping,
+        # ADVICE r2: run() must not pre-run the ATE sweep / render eval we
+        # compute below from return values (duplicate work + stale files)
         System={
-            "save_dir": f"results/ab_{name}",
-            "eval_render": True,
+            "save_dir": save_dir,
+            "eval_render": False,
+            "eval_tracking": False,
             "capacity_bucketing": False,
         },
     )
@@ -55,21 +77,29 @@ def one_run(name, tracking, mapping, width, height, n_frames):
     ef = run(cfg)
     wall = time.perf_counter() - t0
     ate = ef.evaluate_trajectory(plot=False)
-    render = {}
-    rm = os.path.join(f"results/ab_{name}", "render_metrics.json")
-    if os.path.exists(rm):
-        with open(rm) as f:
-            render = json.load(f)["mean"]
+    render = ef.evaluate_render()
+    # steady-state per-frame host ms (frames past compile/warm transients) —
+    # ADVICE r2: wall_s includes jit compile of late-firing programs, so it
+    # cannot be compared across configs with different cache temperature
+    per_frame = [
+        m["track_ms"] + m["map_ms"] + m["post_ms"]
+        for m in ef.metrics
+        if m.get("frame", -1) >= 12 and "track_ms" in m
+    ]
+    import numpy as np
+
+    steady_ms = float(np.median(per_frame)) if per_frame else float("nan")
     return {
         "name": name,
         "tracking": tracking,
         "mapping": mapping,
-        "ate_cm": round(float(ate), 4),
-        "psnr": round(render.get("psnr", float("nan")), 3),
-        "ssim": round(render.get("ssim", float("nan")), 4),
-        "ms_ssim": round(render.get("ms_ssim", float("nan")), 4),
-        "depth_l1": round(render.get("depth_l1", float("nan")), 5),
+        "ate_cm": _r(ate, 4),
+        "psnr": _r(render.get("psnr", float("nan")), 3),
+        "ssim": _r(render.get("ssim", float("nan")), 4),
+        "ms_ssim": _r(render.get("ms_ssim", float("nan")), 4),
+        "depth_l1": _r(render.get("depth_l1", float("nan")), 5),
         "wall_s": round(wall, 1),
+        "steady_frame_ms": _r(steady_ms, 1),
         "surfels": int(ef.mapper.surfels.num_active()),
     }
 
@@ -83,28 +113,24 @@ def main():
 
     enable_persistent_cache()
 
+    arms = {
+        # shipped TPU-fast defaults first: it is the headline quality number
+        "fast": ({"solver_stride": 2}, {"opt_tile_fraction": 0.5}),
+        "exact": ({"solver_stride": 1}, {"opt_tile_fraction": 1.0}),
+        # VERDICT r2 #4: price the amortized schedule against the
+        # reference-exact burst schedule at equal total steps
+        "burst": ({"solver_stride": 2}, {"opt_tile_fraction": 0.5, "opt_schedule": "burst"}),
+    }
+    which = [a for a in (os.environ.get("AB_ARMS", "fast,exact,burst").split(",")) if a]
+
     rows = []
-    rows.append(
-        one_run(
-            "exact",
-            {"solver_stride": 1},
-            {"opt_tile_fraction": 1.0},
-            width, height, n_frames,
-        )
-    )
-    rows.append(
-        one_run(
-            "fast",
-            {"solver_stride": 2},
-            {"opt_tile_fraction": 0.5},
-            width, height, n_frames,
-        )
-    )
     os.makedirs("results", exist_ok=True)
-    with open("results/accuracy_ab.json", "w") as f:
-        json.dump(rows, f, indent=2)
-    for r in rows:
-        print(json.dumps(r))
+    for name in which:
+        tracking, mapping = arms[name]
+        rows.append(one_run(name, tracking, mapping, width, height, n_frames))
+        print(json.dumps(rows[-1]), flush=True)
+        with open("results/accuracy_ab.json", "w") as f:
+            json.dump(rows, f, indent=2)
 
 
 if __name__ == "__main__":
