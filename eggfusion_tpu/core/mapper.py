@@ -604,6 +604,61 @@ class Mapping:
         self._opt_step = opt_step
         self._bin_cache = bin_cache
 
+    def warmup_lowerings(self, frame, frame_map: dict) -> list:
+        """(label, thunk) pairs that `.lower(...).compile()` every mapping
+        program at production shapes WITHOUT executing it (VERDICT r2 #3:
+        frame-0 otherwise compiles ~6 programs serially, 15-130 s each on a
+        tunnel-attached TPU). Thunks are independent — run them in a thread
+        pool: each backend compile releases the GIL, so distinct programs
+        compile concurrently. Results land in the persistent compilation
+        cache; the later real calls re-trace (cheap) and hit it."""
+        W, H = frame.width, frame.height
+        s = self.surfels
+        w2c = frame.w2c_matrix()
+        intr = frame.intr
+        t0 = jnp.int32(0)
+        kfm = {
+            "color": frame_map["color_map"],
+            "depth": frame_map["depth_map"],
+            "normal": frame_map["normal_map_c"],
+            "rgb_mask": frame_map["rgb_mask"],
+            "geo_mask": frame_map["geo_mask"],
+        }
+        params = {k: getattr(s, k) for k in OPT_FIELDS}
+        moments = _adam_init(params)
+        geo = _geo_snapshot(s)
+        lrs = self._lrs_dev(self.sw_lrs)
+
+        thunks = [
+            ("map_update", lambda: self._map_update.lower(
+                s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
+                first=False, full_post=True).compile()),
+            ("map_update_first", lambda: self._map_update.lower(
+                s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
+                first=True, full_post=True).compile()),
+            ("render_model", lambda: self._render_model.lower(
+                s, w2c, intr, width=W, height=H).compile()),
+            ("bin_cache", lambda: self._bin_cache.lower(
+                s, w2c, intr, width=W, height=H).compile()),
+            ("opt_step", lambda: self._opt_step.lower(
+                s, moments, jnp.int32(0), kfm, w2c, intr, geo, lrs, W, H,
+                None, self._tile_rng).compile()),
+            ("pose_mag", lambda: _relative_pose_mag.lower(w2c, w2c).compile()),
+            ("compact", lambda: _compact_jit.lower(s).compile()),
+        ]
+        if self.renderer.backend == "pallas":
+            # the cached-binning opt_step variant (amortized hot path) has a
+            # different signature (cache pytree instead of None): lower it
+            # against a freshly computed cache value
+            def opt_step_cached():
+                cache = self._bin_cache(s, w2c, intr, width=W, height=H)
+                return self._opt_step.lower(
+                    s, moments, jnp.int32(0), kfm, w2c, intr, geo, lrs, W, H,
+                    cache, self._tile_rng).compile()
+
+            thunks.append(("opt_step_cached", opt_step_cached))
+        return thunks
+
     # ----------------------------------------------------------------- host --
 
     def _bucket(self, needed: int) -> int:

@@ -33,14 +33,19 @@ class Renderer:
         active = int(surfel.active_sh_degree)
         self.active_sh_degree = self.max_sh_degree if active < 0 else active
         self.backend = backend or str(cfg.System.get("render_backend", "")) or _default_backend()
-        # per-tile entry capacity of the Pallas compositor. Hole pixels keep a
-        # whole 32x128 block sweeping until its entry list ends, so cap bounds
-        # the real forward AND backward work (measured ~linear: fwd+bwd 57 ms
-        # at 512 vs 24 ms at 128 for 370k surfels on v5e); entries are
-        # depth-sorted so overflow drops the farthest splats. 512 reproduces
-        # the golden compositor on the synthetic e2e; 256 truncates visibly
-        # (ATE 1.66 -> 4.08 cm) — lower only for throughput-over-quality runs.
-        self.raster_cap = int(cfg.System.get("raster_cap", 512))
+        # Per-tile entry capacity of the Pallas compositor (4 sub-columns of
+        # cap/4 entries each). THE at-scale quality knob: at production
+        # densities (>=0.25 surfels/pixel — 20k at 320x240, 600k at
+        # 1280x704) cap 512 overflows every sub-column and drops ~60-80% of
+        # the image (measured: 60% empty pixels vs the XLA oracle's 4% on
+        # the same 20k-surfel map), which the mapper misreads as uncovered
+        # space and floods with spawns until the map saturates. 2048 holds
+        # ~4 fused layers per pixel; compile time is cap-independent (the
+        # sweep is a while_loop) and runtime on covered tiles is bounded by
+        # transmittance early-exit, not cap. Reference comparison: the CUDA
+        # rasterizer uses variable-length per-tile lists — no cap at all
+        # (`diff_gaussian_rasterization`, SURVEY N2).
+        self.raster_cap = int(cfg.System.get("raster_cap", 2048))
 
     def render(self, frame, params: dict) -> dict:
         """Render `params` from `frame`'s current pose estimate."""

@@ -85,7 +85,18 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=None, help="limit number of frames")
     parser.add_argument("--resume", type=str, default=None, help="resume from a checkpoint.npz")
     parser.add_argument("--verbose", action="store_true")
+    parser.add_argument(
+        "--platform", type=str, default=None,
+        help="force a JAX platform (e.g. 'cpu'). Needed where a site pin "
+        "overrides the JAX_PLATFORMS env var (the env-attached TPU tunnel "
+        "pins 'axon'); applied via jax.config before backend init.",
+    )
     args = parser.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from eggfusion_tpu import config as cfglib
     from eggfusion_tpu.utils.cache import enable_persistent_cache

@@ -561,6 +561,9 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
 
 DEPTH_BITS = 19  # 0.23 mm buckets over [0, DEPTH_FAR); 13 bits of subtile id
 DEPTH_FAR = 120.0  # quantization range upper bound (m)
+# stratified-tail overflow: beyond the nearest 3/4*capsub entries of a
+# sub-column, keep every TAIL_STRIDE-th entry (see _bin_entries)
+TAIL_STRIDE = 4
 
 
 def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
@@ -631,10 +634,27 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
     sub_ids = jnp.arange(n_sub, dtype=jnp.int32)
     starts = jnp.searchsorted(sorted_sub, sub_ids, side="left").astype(jnp.int32)
     ends = jnp.searchsorted(sorted_sub, sub_ids, side="right").astype(jnp.int32)
-    counts = jnp.minimum(ends - starts, capsub).reshape(n_tiles, N_SUB)
+    run = ends - starts
 
-    # slab row (t, slot*N_SUB + c) <- sorted position starts[t, c] + slot
-    pos = starts.reshape(n_tiles, 1, N_SUB) + jnp.arange(capsub, dtype=jnp.int32).reshape(1, capsub, 1)
+    # Stratified-tail overflow (round 3): pure drop-farthest loses ALL far
+    # coverage in depth-mixing sub-columns (receding floors: one 32x32 bin
+    # spans a huge depth range, the near entries monopolize the cap and the
+    # far part of the bin renders EMPTY). Keep the nearest TAIL_NEAR slots
+    # exactly, then every TAIL_STRIDE-th entry of the remainder — far
+    # surfaces degrade to sparser splats instead of holes. Closed-form slot
+    # mapping, no extra sorts; depth order within a sub-column is preserved,
+    # so front-to-back compositing stays correct.
+    near = capsub * 3 // 4
+    kept_tail = jnp.maximum(run - near, 0)
+    kept = jnp.minimum(
+        jnp.minimum(run, near) + -(-kept_tail // TAIL_STRIDE), capsub
+    )
+    counts = kept.reshape(n_tiles, N_SUB).astype(jnp.int32)
+
+    # slab slot k reads sorted position starts + off(k)
+    off_np = np.arange(capsub, dtype=np.int32)
+    off_np = np.where(off_np < near, off_np, near + (off_np - near) * TAIL_STRIDE)
+    pos = starts.reshape(n_tiles, 1, N_SUB) + jnp.asarray(off_np).reshape(1, capsub, 1)
     entry_sid = sorted_sid[jnp.clip(pos.reshape(n_tiles, cap), 0, nk - 1)]
 
     if not need_back:
@@ -650,9 +670,15 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
     )
     seg_start = jax.lax.cummax(jnp.where(is_start, iota, 0))
     slot_sorted = iota - seg_start
+    # invert the stratified-tail slot mapping: run offset -> slab slot
+    # (dropped tail entries get -1 -> no gradient, matching the forward)
+    tail = slot_sorted - near
+    tail_kept = (tail >= 0) & (tail % TAIL_STRIDE == 0)
+    slab_slot = jnp.where(tail < 0, slot_sorted, near + tail // TAIL_STRIDE)
+    slot_ok = (tail < 0) | tail_kept
     flat_sorted = jnp.where(
-        (sorted_sub < n_sub) & (slot_sorted < capsub),
-        (sorted_sub // N_SUB) * cap + slot_sorted * N_SUB + sorted_sub % N_SUB,
+        (sorted_sub < n_sub) & slot_ok & (slab_slot < capsub),
+        (sorted_sub // N_SUB) * cap + slab_slot * N_SUB + sorted_sub % N_SUB,
         -1,
     )
     # inverse permutation: sorting sorted_j back to iota carries each entry's

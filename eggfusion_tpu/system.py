@@ -173,16 +173,25 @@ class EGGFusion:
 
         self._render_postprocess = render_postprocess
 
-    def warmup(self) -> None:
-        """Pre-compile the dense-tracking program on dummy inputs.
+    def warmup(self, full: bool | None = None) -> None:
+        """Pre-compile the pipeline's programs before the sequence starts.
 
-        Real-time discipline: all compilation should happen before the
-        sequence starts. Empirically also required on remote-attached TPUs,
-        where compiling the tracker mid-sequence (after the mapping programs
-        and large buffers are resident) can crash the device worker.
+        Real-time discipline: all compilation should happen before frame 0.
+        Empirically also required on remote-attached TPUs, where compiling
+        the tracker mid-sequence (after the mapping programs and large
+        buffers are resident) can crash the device worker.
+
+        `full=True` (default on TPU) additionally lowers+compiles EVERY
+        mapping/postprocess program at production shapes in a thread pool
+        (VERDICT r2 #3): backend compiles release the GIL and run
+        concurrently, so cold-start wall time approaches the slowest single
+        program (~130 s) instead of the serial sum (~6-8 minutes through
+        the tunnel). Results populate the persistent compilation cache.
         """
         from eggfusion_tpu.core.tracker import dense_track_pose
 
+        if full is None:
+            full = jax.default_backend() not in ("cpu",)
         cal = self.cfg.Dataset.Calibration
         H, W = int(cal.height), int(cal.width)
         f = Frame(
@@ -194,9 +203,34 @@ class EGGFusion:
             intr=_cal_intrinsics(self.cfg),
             depth_scale=1.0, nlevel=self.nlevel, prefiltered=True,
         )
+        f.update_transform_gt()
         eye = jnp.eye(4)
         curr, _, _, _ = dense_track_pose(f.pyramid, f.pyramid, eye, eye, self.tracker.config)
         jax.block_until_ready(curr)
+        if not full:
+            return
+
+        import concurrent.futures as cf
+        import time as _t
+
+        self.preprocess(f)
+        thunks = self.mapper.warmup_lowerings(f, self.frame_map)
+        thunks.append((
+            "render_postprocess",
+            lambda: self._render_postprocess.lower(
+                self.mapper.surfels, self.frame_map, eye, f.intr,
+                width=W, height=H).compile(),
+        ))
+        t0 = _t.perf_counter()
+        with cf.ThreadPoolExecutor(max_workers=6) as ex:
+            futs = {ex.submit(fn): label for label, fn in thunks}
+            for fut in cf.as_completed(futs):
+                try:
+                    fut.result()
+                except Exception as e:  # warmup is best-effort
+                    print(f"warmup compile {futs[fut]} failed: {e}")
+        print(f"warmup: {len(thunks)} programs compiled in {_t.perf_counter()-t0:.1f}s")
+        self.frame_map = None  # dummy-frame state must not leak into frame 0
 
     # ---- per-frame pipeline -------------------------------------------------
 

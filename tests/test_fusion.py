@@ -209,3 +209,62 @@ class TestMaintenance:
         s2 = sf.append_surfels(mp.surfels, batch, jnp.int32(31), 0.99)
         assert int(s2.count) == 15
         assert int(s2.num_active()) == 15
+
+
+class TestSaturationRecovery:
+    def test_saturated_map_with_prunable_surfels_accepts_spawns(self):
+        """VERDICT r2 #5 (test part): a map pinned at capacity whose
+        surfels are partly prunable must, after maintenance (prune +
+        compact), accept new spawns again — spawns at a full watermark are
+        silently dropped by design, so maintenance is what keeps a
+        long-running map live."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from eggfusion_tpu.core import surfels as sf
+        from eggfusion_tpu.ops import fusion
+
+        C = 1024
+        cfg = sf.SurfelConfig(capacity=C, max_sh_degree=0, active_sh_degree=0)
+        s = sf.SurfelMap.empty(cfg)
+        rng = np.random.default_rng(3)
+        xyz = rng.uniform(-1, 1, (C, 3)).astype(np.float32)
+        nrm = np.tile([0.0, 0.0, -1.0], (C, 1)).astype(np.float32)
+        batch = sf.SpawnBatch(
+            xyz=jnp.asarray(xyz), normal=jnp.asarray(nrm),
+            color=jnp.asarray(rng.uniform(size=(C, 3)).astype(np.float32)),
+            dist=jnp.full((C, 3), 0.02), eta=jnp.zeros((C, 6)),
+            sigma2=jnp.ones((C, 2)), valid=jnp.ones(C, bool),
+        )
+        s = sf.append_surfels(s, batch, jnp.int32(0), 0.9)
+        assert int(np.asarray(s.count)) == C  # watermark at capacity
+
+        # saturated: a fresh spawn batch is silently dropped
+        s2 = sf.append_surfels(s, batch, jnp.int32(1), 0.9)
+        assert int(s2.num_active()) == C
+
+        # make 1/4 of the map prunable: old, unstable, never-confirmed
+        idx = np.arange(0, C, 4)
+        s = s.replace(
+            tic=s.tic.at[idx].set(0),
+            observe_count=s.observe_count.at[idx].set(0),
+            stable=s.stable.at[idx].set(False),
+        )
+        t = jnp.int32(100)  # age 100 > max_age
+        s = fusion.prune_unstable(s, cfg, t, max_age=30)
+        n_after_prune = int(s.num_active())
+        assert n_after_prune <= C - len(idx) + 8
+
+        s = sf.compact_surfels(s)
+        assert int(np.asarray(s.count)) == n_after_prune  # watermark dropped
+
+        # spawns land again, reusing the freed slots
+        K = 256
+        batch2 = sf.SpawnBatch(
+            xyz=jnp.asarray(xyz[:K]), normal=jnp.asarray(nrm[:K]),
+            color=jnp.asarray(rng.uniform(size=(K, 3)).astype(np.float32)),
+            dist=jnp.full((K, 3), 0.02), eta=jnp.zeros((K, 6)),
+            sigma2=jnp.ones((K, 2)), valid=jnp.ones(K, bool),
+        )
+        s = sf.append_surfels(s, batch2, jnp.int32(101), 0.9)
+        assert int(s.num_active()) == n_after_prune + K

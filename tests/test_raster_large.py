@@ -121,3 +121,67 @@ class TestDenseParity:
         od = np.abs(op - ox)
         assert (od > 0.02).mean() < 5e-3, (od > 0.02).mean()
         assert np.quantile(od, 0.999) < 0.08, np.quantile(od, 0.999)
+
+
+class TestProductionDensity:
+    """Pallas coverage parity at PRODUCTION surfel density (round-3 root
+    cause: at >=0.25 surfels/pixel — 20k at 320x240, 600k at 1280x704 —
+    per-sub-column cap-512 overflow dropped 60-80% of the image vs the
+    oracle, which the mapper misread as uncovered space and flooded with
+    spawns until capacity saturated; measured 60% vs 4% empty pixels on the
+    same live map). The default cap (renderer.raster_cap = 2048) must hold
+    a fused multi-layer map with no coverage loss."""
+
+    # 0.31 surfels/pixel at 512x256 as TEN near-coincident layers — well
+    # past a fused SLAM map's real overdraw (fusion absorbs re-observations;
+    # ~2-3 layers) — held by cap 2048 + the stratified-tail overflow policy
+    # (`_bin_entries`): pure drop-farthest lost 8.8% of covered pixels here
+    # (all of it far-floor coverage in depth-mixing horizon sub-columns);
+    # keeping every TAIL_STRIDE-th far entry cuts that to ~1%.
+    N_LAYERS = 10
+    N_DENSE = N_LAYERS * 4096
+
+    @pytest.fixture(scope="class")
+    def dense_stack(self):
+        # layered re-sampling of the same surfaces = a fused SLAM map's
+        # overdraw structure (near-coincident layers), not a uniform cloud
+        rng = np.random.default_rng(11)
+        maps = []
+        for i in range(self.N_LAYERS):
+            s = _surface_scene(seed=100 + i)
+            maps.append((np.asarray(s.xyz), np.asarray(s.rotation),
+                         np.asarray(s.scaling), np.asarray(s.features_dc),
+                         np.asarray(s.opacity), np.asarray(s.active)))
+        cfg = sf.SurfelConfig(capacity=self.N_DENSE, max_sh_degree=0, active_sh_degree=0)
+        smap = sf.SurfelMap.empty(cfg)
+        xyz = np.concatenate([m[0] for m in maps], axis=-1)
+        xyz = xyz + rng.normal(0, 0.002, xyz.shape).astype(np.float32)
+        smap = smap.replace(
+            xyz=jnp.asarray(xyz),
+            rotation=jnp.asarray(np.concatenate([m[1] for m in maps], -1)),
+            scaling=jnp.asarray(np.concatenate([m[2] for m in maps], -1)),
+            features_dc=jnp.asarray(np.concatenate([m[3] for m in maps], -1)),
+            opacity=jnp.asarray(np.concatenate([m[4] for m in maps], -1)),
+            active=jnp.asarray(np.concatenate([m[5] for m in maps], -1)),
+            count=jnp.int32(self.N_DENSE),
+        )
+        params = sf.render_params(smap)
+        out_x = render_xla(params, jnp.eye(4), INTR, W, H, sh_degree=0)
+        out_p = render_pallas(params, jnp.eye(4), INTR, W, H, sh_degree=0,
+                              cap=2048, need_grad=False)
+        return out_x, out_p
+
+    def test_no_coverage_loss(self, dense_stack):
+        out_x, out_p = dense_stack
+        ex = np.asarray(out_x["opacity"][..., 0]) < 0.1
+        ep = np.asarray(out_p["opacity"][..., 0]) < 0.1
+        # the Pallas render must not drop covered pixels (the death-spiral
+        # signature); allow a small fringe from footprint truncation
+        assert ep.mean() < ex.mean() + 0.02, (ep.mean(), ex.mean())
+
+    def test_depth_parity_on_covered(self, dense_stack):
+        out_x, out_p = dense_stack
+        cover = np.asarray(out_x["opacity"][..., 0]) > 0.5
+        assert cover.mean() > 0.3
+        dd = np.abs(np.asarray(out_p["depth"] - out_x["depth"])[..., 0])[cover]
+        assert np.quantile(dd, 0.95) < 2e-2, np.quantile(dd, 0.95)

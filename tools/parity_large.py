@@ -28,7 +28,7 @@ def main():
     width = int(os.environ.get("PAR_WIDTH", 1280))
     height = int(os.environ.get("PAR_HEIGHT", 704))
     n_min = int(os.environ.get("PAR_SURFELS", 100_000))
-    cap = int(os.environ.get("PAR_CAP", 512))
+    cap = int(os.environ.get("PAR_CAP", 0))  # 0 = the shipped config default
 
     from eggfusion_tpu.utils.cache import enable_persistent_cache
 
@@ -63,6 +63,8 @@ def main():
         System={"save_dir": "results/parity_large", "final_global_opt": False,
                 "capacity_bucketing": False},
     )
+    if not cap:
+        cap = int(cfg.System.raster_cap)
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
     ef.warmup()
@@ -83,10 +85,15 @@ def main():
     w2c = jnp.asarray(ef.traj["est"][-1])
     intr = jnp.asarray([600.0, 600.0, width / 2 - 0.5, height / 2 - 0.5])
 
+    # warm both programs first so the timings below are execution, not compile
+    out_p = jax.block_until_ready(
+        render_pallas(params, w2c, intr, width, height, sh_degree=0, cap=cap))
     t0 = time.perf_counter()
     out_p = jax.block_until_ready(
         render_pallas(params, w2c, intr, width, height, sh_degree=0, cap=cap))
     t_pallas = time.perf_counter() - t0
+    out_x = jax.block_until_ready(
+        render_xla(params, w2c, intr, width, height, sh_degree=0))
     t0 = time.perf_counter()
     out_x = jax.block_until_ready(
         render_xla(params, w2c, intr, width, height, sh_degree=0))
@@ -121,6 +128,9 @@ def main():
         "t_xla_s": round(t_xla, 1),
     }
     print(json.dumps(rep))
+    os.makedirs("results/parity_large", exist_ok=True)
+    with open("results/parity_large/parity.json", "w") as f:
+        json.dump(rep, f, indent=2)
 
 
 if __name__ == "__main__":

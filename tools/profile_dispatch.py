@@ -72,6 +72,56 @@ def main():
     s = tiny(x)
     bench("np.asarray(scalar) sync", lambda: np.asarray(tiny(x)), n=20)
 
+    # does this backend support copy_to_host_async, and does it make a
+    # LAGGED read free? (the tracker's converged-flag pattern)
+    try:
+        y = tiny(x)
+        y.copy_to_host_async()
+        print("[dispatch] copy_to_host_async: supported", flush=True)
+    except Exception as e:
+        print(f"[dispatch] copy_to_host_async: UNSUPPORTED ({e})", flush=True)
+
+    import collections
+
+    def lagged_read():
+        q = collections.deque()
+        t0 = time.perf_counter()
+        for i in range(20):
+            y = tiny(x)
+            try:
+                y.copy_to_host_async()
+            except Exception:
+                pass
+            q.append(y)
+            if len(q) >= 3:
+                np.asarray(q.popleft())
+        return (time.perf_counter() - t0) / 20 * 1e3
+
+    print(f"[dispatch] lag-3 async read loop: {lagged_read():.2f} ms/iter", flush=True)
+
+    # a frame-shaped burst: ~6 enqueues + 1 lagged read, measured end to end
+    def frame_shape():
+        q = collections.deque()
+        t0 = time.perf_counter()
+        for i in range(20):
+            a = small_args(x, d)
+            b = matmul(big)
+            c1 = tiny(x)
+            c2 = tiny(c1)
+            c3 = small_args(c1, d)
+            f = tiny(c2)
+            try:
+                f.copy_to_host_async()
+            except Exception:
+                pass
+            q.append(f)
+            if len(q) >= 3:
+                np.asarray(q.popleft())
+        jax.block_until_ready([a, b, c3])
+        return (time.perf_counter() - t0) / 20 * 1e3
+
+    print(f"[dispatch] frame-shaped 6-dispatch + lag-3 read: {frame_shape():.2f} ms/iter", flush=True)
+
 
 if __name__ == "__main__":
     main()

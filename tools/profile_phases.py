@@ -140,7 +140,7 @@ def main():
             # would delete the buffers the next timing iteration reads
             s0 = jax.tree_util.tree_map(lambda x: x + 0, s)
             m0 = _adam_init({k: getattr(s, k) for k in OPT_FIELDS})
-            s2, m2, st, loss = mp._opt_step(s0, m0, jnp.int32(0), kfm, w2c, intr, geo, lrs, W, H, c)
+            s2, m2, st, loss = mp._opt_step(s0, m0, jnp.int32(0), kfm, w2c, intr, geo, lrs, W, H, c, mp._tile_rng)
             return loss
         return f
 
