@@ -64,7 +64,7 @@ def main():
                 "capacity_bucketing": False},
     )
     if not cap:
-        cap = int(cfg.System.raster_cap)
+        cap = int(cfg.System.get("raster_cap", 2048))
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
     ef.warmup()
