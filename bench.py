@@ -61,10 +61,15 @@ def main() -> None:
         # global base.yaml's 5 is the TUM setting) -> 1.5 amortized
         # steps/frame, matching our configs/replica/base.yaml
         Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3))},
-        # fixed capacity: measure steady-state max-capacity throughput and
-        # keep bucket-growth recompiles out of the timed loop
-        System={"save_dir": "results/bench", "final_global_opt": False,
-                "capacity_bucketing": False},
+        # capacity bucketing ON (the production default): the surfel SoA is
+        # sized to the smallest power-of-two bucket that holds the live map
+        # (262k here — frame 0's init spawn lands inside the init bucket and
+        # this scene never grows past it, so no recompile fires mid-loop),
+        # instead of paying every N-proportional cost (binning sort,
+        # projection, Adam, back_map gather) at max_surfels_num capacity.
+        # Measured (tools/profile_phases.py, 600k -> 262k): map_update 41 ->
+        # 24 ms, opt_step 57 -> 41 ms, bin_cache 17 -> 7.5 ms.
+        System={"save_dir": "results/bench", "final_global_opt": False},
     )
 
     dataset = load_dataset(cfg)

@@ -173,6 +173,8 @@ DEFAULTS = {
         "root_dir": "results",
         "save_dir": "",
         "only_mapping": False,
+        "raster_cap": 2048,  # see configs/base.yaml System.raster_cap note
+        "opt_raster_cap": 1024,  # optimization-render capacity (gradient path)
         "final_global_opt": True,
         "eval_tracking": True,
         "eval_render": True,

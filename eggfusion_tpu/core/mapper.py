@@ -403,8 +403,12 @@ class Mapping:
             if self.bucketing else self.max_capacity
         )
         self.surfels = sf.SurfelMap.empty(self.scfg._replace(capacity=init_cap))
-        self._known_count = 0  # count after the last map update (host mirror)
-        self._count_ref = None  # device scalar being copied back asynchronously
+        self._known_count = 0  # count after frame `_known_time` (host mirror)
+        self._known_time = -1
+        # (time, device-scalar) async count copies, oldest first; consumed
+        # once `count_lag` frames old so growth checks never stall the host
+        self._count_pending: deque = deque()
+        self.count_lag = max(1, int(cfg.System.get("count_lag", 2)))
         # amortized-schedule state
         self._opt_acc = 0.0  # fractional step accumulator
         self._opt_kf = None  # window member currently being optimized
@@ -412,6 +416,7 @@ class Mapping:
         self._opt_geo = None  # drift-regularizer anchor for the current round
         self._opt_moments = None
         self._opt_stepno = None
+        self._maint_pending = None  # async (count, active) refs of a deferred prune
         self.time = 0
         self.model_map: dict | None = None
         self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
@@ -535,7 +540,8 @@ class Mapping:
             def loss_fn(p):
                 s2 = s.replace(**p)
                 out = render_at(sf.render_params(s2), w2c, intr, width, height,
-                                cache=cache, tile_keep=tile_keep)
+                                cache=cache, tile_keep=tile_keep,
+                                cap=self.renderer.opt_raster_cap)
                 return compute_loss(out, kf, s2, geo_snapshot, mcfg, pix_mask)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -597,7 +603,9 @@ class Mapping:
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def bin_cache(s: sf.SurfelMap, w2c, intr, width: int, height: int):
-            return precompute_cache(sf.render_params(s), w2c, intr, width, height)
+            # the binning cache feeds opt_step only -> bin at the OPT cap
+            return precompute_cache(sf.render_params(s), w2c, intr, width, height,
+                                    cap=self.renderer.opt_raster_cap)
 
         self._map_update = map_update
         self._render_model = render_model
@@ -669,16 +677,23 @@ class Mapping:
     def _ensure_capacity(self, first: bool) -> None:
         """Grow the surfel SoA if this frame's spawn could overflow it.
 
-        `_known_count` is the exact count after the previous frame's map
-        update (read from an async device->host copy started last frame, so
-        the read does not stall the pipeline), and a frame appends at most
-        `spawn_cap` surfels — the bound is tight, never stale."""
-        if self._count_ref is not None:
-            self._known_count = int(np.asarray(self._count_ref))
-            self._count_ref = None
-        cap_needed = self._known_count + (
-            self.mcfg.spawn_cap_init if first else self.mcfg.spawn_cap
-        )
+        Count readbacks are pipelined with lag N (like the tracker's
+        converged flags): each frame's post-update count starts an async
+        device->host copy, and only copies at least `count_lag` frames old
+        are consumed — so the host never waits for the device to catch up
+        (a lag-1 read forces a full host/device round trip per frame on
+        remote-attached TPUs). The growth bound stays safe by budgeting
+        `spawn_cap` for every frame newer than the consumed count."""
+        while self._count_pending and self._count_pending[0][0] <= self.time - self.count_lag:
+            t, ref = self._count_pending.popleft()
+            self._known_count = int(np.asarray(ref))
+            self._known_time = t
+        # budget every frame in (_known_time, self.time] whose spawn is not
+        # yet reflected in the consumed count (frame 0 spawns up to the
+        # larger init cap)
+        cap_needed = self._known_count
+        for j in range(max(self._known_time + 1, 0), self.time + 1):
+            cap_needed += self.mcfg.spawn_cap_init if j == 0 else self.mcfg.spawn_cap
         if cap_needed > self.surfels.capacity:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
             # capacity change invalidates amortized-opt per-capacity state
@@ -712,14 +727,17 @@ class Mapping:
         if self.bucketing:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
             # would delete the very buffer the async copy reads from
-            self._count_ref = self.surfels.count + 0
+            ref = self.surfels.count + 0
             try:
-                self._count_ref.copy_to_host_async()
+                ref.copy_to_host_async()
             except Exception:
                 pass
+            self._count_pending.append((self.time, ref))
 
+        if self._maint_pending is not None:
+            self._maintain_finish()
         if self.mcfg.prune_freq > 0 and self.time > 0 and self.time % self.mcfg.prune_freq == 0:
-            self.maintain_map()
+            self.maintain_map(defer=True)
 
         if self.time % self.mcfg.sw_add_freq == 0:
             self.keyframe_manager.sliding_window.append(
@@ -742,18 +760,47 @@ class Mapping:
         self.time += 1
         return model_map
 
-    def maintain_map(self) -> None:
+    def maintain_map(self, defer: bool = False) -> None:
         """Live map-size management (VERDICT r1 #3): cull error-dominated and
         stale unstable surfels, then compact the SoA when fragmentation
         (watermark minus active count) exceeds `compact_frag` of capacity so
-        later spawns reuse the freed slots. Runs every `prune_freq` frames —
-        the two host scalar syncs here are once per maintenance period, not
-        per frame."""
+        later spawns reuse the freed slots. Runs every `prune_freq` frames.
+
+        `defer=True` (the live loop): the prune program is dispatched now
+        but the two count scalars are only COPIED asynchronously; the
+        compact decision runs on the next frame via `_maintain_finish`,
+        when the copies are long since ready — so maintenance never drains
+        the ~3-frame device queue (the 390-500 ms per-frame spike BENCH_r02
+        showed every prune_freq frames). `defer=False` keeps the immediate
+        semantics (direct calls, tests, final cleanup)."""
         self.surfels = fusion.prune_unstable(
             self.surfels, self.scfg, jnp.int32(self.time), self.mcfg.prune_max_age
         )
-        count = int(np.asarray(self.surfels.count))
-        n_active = int(np.asarray(self.surfels.num_active()))
+        if defer:
+            cnt = self.surfels.count + 0
+            act = self.surfels.num_active() + 0
+            for r in (cnt, act):
+                try:
+                    r.copy_to_host_async()
+                except Exception:
+                    pass
+            self._maint_pending = (cnt, act)
+            return
+        self._maintain_decide(int(np.asarray(self.surfels.count)),
+                              int(np.asarray(self.surfels.num_active())),
+                              self.time)
+
+    def _maintain_finish(self) -> None:
+        cnt, act = self._maint_pending
+        self._maint_pending = None
+        # the copied scalars snapshot the post-prune state of the PREVIOUS
+        # frame — this frame's map_update has already dispatched its spawn,
+        # so the consumed count must be dated one frame back for the
+        # capacity budget to cover it
+        self._maintain_decide(int(np.asarray(cnt)), int(np.asarray(act)),
+                              self.time - 1)
+
+    def _maintain_decide(self, count: int, n_active: int, known_time: int) -> None:
         if count - n_active > self.mcfg.compact_frag * self.surfels.capacity:
             self.surfels = _compact_jit(self.surfels)
             count = n_active
@@ -763,7 +810,8 @@ class Mapping:
             self._opt_kf = None
             self._opt_moments = None
         self._known_count = count
-        self._count_ref = None
+        self._known_time = known_time
+        self._count_pending.clear()
 
     def _lrs_dev(self, lrs: dict) -> dict:
         """Device copies of the LR scalars, uploaded once (six per-frame tiny

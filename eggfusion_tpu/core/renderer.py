@@ -46,6 +46,21 @@ class Renderer:
         # rasterizer uses variable-length per-tile lists — no cap at all
         # (`diff_gaussian_rasterization`, SURVEY N2).
         self.raster_cap = int(cfg.System.get("raster_cap", 2048))
+        # Entry capacity for OPTIMIZATION renders (gradient path only). The
+        # coverage-critical renders (spawn mask + tracking model view) must
+        # never overflow — holes there trigger the spawn-flood death spiral
+        # (cap 1024 live: PSNR 10.8, map 321k; see ACCURACY.md) — but the
+        # optimization render only feeds gradients against keyframes of a
+        # HEALTHY map, whose occupancy fits a smaller slab (measured max
+        # sub-column count 244 < 1024/4 on the 134k production map), and the
+        # stratified tail degrades overflow gracefully. Priced end-to-end by
+        # the `optcap1024` A/B arm (ATE 0.0009 cm, PSNR 29.49 vs 29.61 —
+        # noise-level — at -23 ms/frame), hence default 1024 (never above
+        # raster_cap). 0 = use raster_cap.
+        self.opt_raster_cap = (
+            int(cfg.System.get("opt_raster_cap", 0))
+            or min(1024, self.raster_cap)
+        )
 
     def render(self, frame, params: dict) -> dict:
         """Render `params` from `frame`'s current pose estimate."""
@@ -53,17 +68,19 @@ class Renderer:
 
     def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None,
                   geom_only: bool = False, need_grad: bool = True,
-                  tile_keep=None) -> dict:
+                  tile_keep=None, cap: int | None = None) -> dict:
         """`geom_only=True` returns only {depth, opacity} — the fusion/spawn
         render (`mapper.map_update`) reads nothing else, and the Pallas
         backend then skips SH + color/normal compositing. `need_grad=False`
         (forward-only renders) skips the gradient back-map sort. `tile_keep`
-        (Pallas only) composites a tile subset — stochastic map optimization."""
+        (Pallas only) composites a tile subset — stochastic map optimization.
+        `cap` overrides the entry capacity (must match `cache`'s, if any)."""
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
             return render_pallas(params, w2c, intr, width, height,
-                                 sh_degree=self.active_sh_degree, cap=self.raster_cap,
+                                 sh_degree=self.active_sh_degree,
+                                 cap=cap or self.raster_cap,
                                  binning=cache, geom_only=geom_only,
                                  need_grad=need_grad, tile_keep=tile_keep)
         out = render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
@@ -71,11 +88,13 @@ class Renderer:
             return {"depth": out["depth"], "opacity": out["opacity"]}
         return out
 
-    def precompute_cache(self, params: dict, w2c, intr, width: int, height: int):
+    def precompute_cache(self, params: dict, w2c, intr, width: int, height: int,
+                         cap: int | None = None):
         """Per-camera render cache (tile binning), reusable across a few
         optimization steps on the same camera; None for backends without one."""
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import compute_binning
 
-            return compute_binning(params, w2c, intr, width, height, cap=self.raster_cap)
+            return compute_binning(params, w2c, intr, width, height,
+                                   cap=cap or self.raster_cap)
         return None

@@ -80,9 +80,22 @@ import os as _os
 # instances). Overridable for experiments via env.
 TILE_H = int(_os.environ.get("EGG_RASTER_TILE_H", 32))
 TILE_W = 128
-SUB_W = 32  # binning/capacity sub-column width (stripe of the lane dim)
-N_SUB = TILE_W // SUB_W  # stripes per tile (4)
-KSUB = 2  # candidate window, x, in SUB-COLUMNS (64 px)
+# Binning/capacity sub-column width (stripe of the lane dim), experiment
+# knob. Narrower stripes cut per-pixel sweep depth ~0.6x (a pixel only
+# composites entries binned to its own sub-column) while each sweep step
+# still composites one entry per stripe — but they are NOT a free win:
+# per-sub-column capacity is cap/N_SUB, so at equal total cap the overflow
+# pressure DOUBLES (measured: the 10-layer production-density test loses
+# 4% coverage at SUB_W 16 / cap 2048), and the guaranteed-coverage radius
+# (KSUB-1)*SUB_W/2 shrinks unless KSUB grows (which grows the binning
+# sort by K/4). Holding depth needs cap 4096, whose slab-expand gather
+# cancels the sweep savings. Default 32 is the measured sweet spot.
+SUB_W = int(_os.environ.get("EGG_RASTER_SUB_W", 32))
+N_SUB = TILE_W // SUB_W  # stripes per tile
+# candidate window, x, in SUB-COLUMNS: chosen so the guaranteed-coverage
+# radius (KSUB-1)*SUB_W/2 stays 16 px at any stripe width (narrower stripes
+# emit more candidates per surfel; the binning sort length scales with K)
+KSUB = {32: 2, 16: 3, 8: 5}.get(SUB_W, 2)
 KY = 2  # candidate window, y, in tile rows (2*TILE_H px). Binning sort cost
 #         AND the backward's back_map gather scale with KSUB*KY, so the
 #         window is the single biggest rasterizer cost knob.

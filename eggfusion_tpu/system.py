@@ -409,9 +409,10 @@ class EGGFusion:
         s, extra = ckpt.load_checkpoint(path)
         self.mapper.surfels = s
         self.mapper._known_count = int(np.asarray(s.count))
-        self.mapper._count_ref = None
+        self.mapper._count_pending.clear()
         if "time" in extra:
             self.mapper.time = int(extra["time"])
+        self.mapper._known_time = self.mapper.time - 1
         if "ts" in extra:
             self.traj = {
                 "ts": list(np.asarray(extra["ts"])),
@@ -455,7 +456,8 @@ class EGGFusion:
             count=jnp.int32(n),
         )
         self.mapper._known_count = n
-        self.mapper._count_ref = None
+        self.mapper._known_time = self.mapper.time - 1
+        self.mapper._count_pending.clear()
         print(f"Reloaded {n} surfels from {path}")
 
     # ---- evaluation ---------------------------------------------------------

@@ -211,6 +211,51 @@ class TestMaintenance:
         assert int(s2.num_active()) == 15
 
 
+class TestLaggedCapacityGrowth:
+    """`_ensure_capacity` consumes count readbacks with lag N (pipelined,
+    like the tracker's converged flags) and must still never overflow: every
+    frame newer than the consumed count gets a full spawn_cap budget."""
+
+    def _mapping(self, capacity=1 << 16):
+        from eggfusion_tpu import config as cfglib
+        from eggfusion_tpu.core.mapper import Mapping
+        from eggfusion_tpu.core.renderer import Renderer
+
+        cfg = cfglib.default_config(
+            Dataset={"Calibration": {"width": W, "height": H, "fx": 30.0, "fy": 30.0,
+                                     "cx": W / 2 - 0.5, "cy": H / 2 - 0.5}},
+            Viewer={"max_surfels_num": capacity},
+            Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+        )
+        return Mapping(cfg, Renderer(cfg, backend="xla"))
+
+    def test_growth_budgets_unconsumed_frames(self):
+        import jax.numpy as jnp
+
+        mp = self._mapping()
+        assert mp.bucketing
+        cap0 = mp.surfels.capacity
+        spawn = mp.mcfg.spawn_cap
+
+        # a count ref from frame 0 that is NOT yet old enough to consume
+        near_full = cap0 - spawn // 2
+        mp._count_pending.append((0, jnp.int32(near_full)))
+        mp.time = 1
+        # lag 2: the frame-0 ref must not be consumed at time 1, but the
+        # budget (unknown frames 0..1) must still trigger growth from the
+        # initial bucket
+        mp._ensure_capacity(first=False)
+        assert mp._known_time == -1  # nothing consumed
+        assert mp.surfels.capacity >= mp.mcfg.spawn_cap_init + 2 * spawn
+
+        # once the ref ages past the lag it is consumed and sizes the bucket
+        mp.time = 2
+        mp._ensure_capacity(first=False)
+        assert mp._known_time == 0
+        assert mp._known_count == near_full
+        assert mp.surfels.capacity >= near_full + 2 * spawn
+
+
 class TestSaturationRecovery:
     def test_saturated_map_with_prunable_surfels_accepts_spawns(self):
         """VERDICT r2 #5 (test part): a map pinned at capacity whose

@@ -35,7 +35,7 @@ def _r(v, nd):
     return round(v, nd) if math.isfinite(v) else None
 
 
-def one_run(name, tracking, mapping, width, height, n_frames):
+def one_run(name, tracking, mapping, width, height, n_frames, system=None):
     import shutil
 
     from eggfusion_tpu import config as cfglib
@@ -71,6 +71,7 @@ def one_run(name, tracking, mapping, width, height, n_frames):
             "eval_render": False,
             "eval_tracking": False,
             "capacity_bucketing": False,
+            **(system or {}),
         },
     )
     t0 = time.perf_counter()
@@ -120,15 +121,33 @@ def main():
         # VERDICT r2 #4: price the amortized schedule against the
         # reference-exact burst schedule at equal total steps
         "burst": ({"solver_stride": 2}, {"opt_tile_fraction": 0.5, "opt_schedule": "burst"}),
+        # smaller entry capacity for the OPTIMIZATION render only (the
+        # coverage-critical model/spawn renders stay at raster_cap): prices
+        # the gradient fidelity of the stratified-tail slab at 1024
+        "optcap1024": ({"solver_stride": 2},
+                       {"opt_tile_fraction": 0.5},
+                       {"opt_raster_cap": 1024}),
+        # equal optimized-pixel throughput in FEWER, bigger steps: 1
+        # step/frame at tile fraction 0.75 vs 1.5 steps at 0.5 — each step
+        # pays fixed costs (projection, slab expand, back-map gather), so
+        # fewer steps cut ~9 ms/frame if quality holds
+        "steps1x075": ({"solver_stride": 2},
+                       {"opt_tile_fraction": 0.75, "local_map_iter": 2}),
     }
     which = [a for a in (os.environ.get("AB_ARMS", "fast,exact,burst").split(",")) if a]
 
-    rows = []
     os.makedirs("results", exist_ok=True)
+    try:  # merge with prior arms so partial runs don't clobber the record
+        with open("results/accuracy_ab.json") as f:
+            rows = json.load(f)
+    except Exception:
+        rows = []
     for name in which:
-        tracking, mapping = arms[name]
-        rows.append(one_run(name, tracking, mapping, width, height, n_frames))
-        print(json.dumps(rows[-1]), flush=True)
+        tracking, mapping, *sysrest = arms[name]
+        row = one_run(name, tracking, mapping, width, height, n_frames,
+                      system=sysrest[0] if sysrest else None)
+        rows = [r for r in rows if r.get("name") != name] + [row]
+        print(json.dumps(row), flush=True)
         with open("results/accuracy_ab.json", "w") as f:
             json.dump(rows, f, indent=2)
 

@@ -8,6 +8,7 @@ composite fwd (geom and full) / fwd+bwd — the data the opt_step budget
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
 
@@ -60,7 +61,8 @@ def main():
     ty = rp._cdiv(height, rp.TILE_H)
     n_tiles = tx * ty
 
-    for cap in (2048, 1024):
+    caps = tuple(int(c) for c in os.environ.get("PROF_CAPS", "2048,1024").split(","))
+    for cap in caps:
         print(f"--- cap {cap}", flush=True)
         proj_f = jax.jit(lambda p: rc.project_surfels(p, w2c, intr, width, height, 0))
         proj = timeit("project (N)", lambda: proj_f(params))
