@@ -75,6 +75,8 @@ def run(cfg, max_frames: int | None = None, verbose: bool = False, resume: str |
         ef.evaluate_trajectory()
     if cfg.System.get("eval_render", False):
         ef.evaluate_render()
+    if cfg.System.get("eval_recon", False):
+        ef.evaluate_recon()
     return ef
 
 

@@ -504,6 +504,49 @@ class EGGFusion:
         print(f"ATE RMSE: {ate:.05f}cm")
         return ate
 
+    def evaluate_recon(self, thresh: float = 0.01) -> dict:
+        """Reconstruction accuracy/completeness/F-score of the fused map vs
+        the observed keyframe depth clouds (wires the reference's dead
+        `eval_recon` flag — see `utils.eval.eval_recon`)."""
+        kfs = self.mapper.keyframe_manager.keyframes.values()
+        # adaptive stride: the observed cloud must be at least as dense as
+        # the map, or cloud sparsity (pixel pitch * stride * depth / f)
+        # floors the accuracy metric (test-size images need every pixel)
+        clouds = [
+            evalu.unproject_depth(
+                np.asarray(kf.maps["depth"]), np.asarray(kf.intr),
+                np.linalg.inv(np.asarray(kf.w2c)),
+                stride=max(1, min(4, kf.width // 320)),
+            )
+            for kf in kfs
+        ]
+        s = self.mapper.surfels
+        act = np.asarray(s.active)
+        xyz = np.asarray(s.xyz).T[act]  # (M, 3)
+        # a surfel is a DISK, not a point: completeness against the dense
+        # depth cloud must sample the disk surface, or a map 50x sparser
+        # than the cloud scores near-zero recall at any tight threshold.
+        # 5 samples per surfel: center + 4 at +-0.7 sigma along the tangent
+        # axes (the disk's covariance axes).
+        q = np.asarray(s.rotation).T[act]  # (M, 4) wxyz, unnormalized
+        q = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        w, x, y, z = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+        # rotation-matrix columns 0/1 (tangent axes) from the quaternion
+        tu = np.stack([1 - 2 * (y * y + z * z), 2 * (x * y + w * z), 2 * (x * z - w * y)], 1)
+        tv = np.stack([2 * (x * y - w * z), 1 - 2 * (x * x + z * z), 2 * (y * z + w * x)], 1)
+        sc = np.exp(np.asarray(s.scaling).T[act][:, :2])
+        du = 0.7 * sc[:, :1] * tu
+        dv = 0.7 * sc[:, 1:2] * tv
+        samples = np.concatenate([xyz, xyz + du, xyz - du, xyz + dv, xyz - dv])
+        rep = evalu.eval_recon(samples, clouds, thresh=thresh) if clouds else {}
+        if rep:
+            os.makedirs(self.save_dir, exist_ok=True)
+            with open(os.path.join(self.save_dir, "recon_metrics.json"), "w") as f:
+                json.dump(rep, f, indent=2)
+            print("Recon metrics:", {k: round(v, 5) if isinstance(v, float) else v
+                                     for k, v in rep.items()})
+        return rep
+
     def evaluate_render(self) -> dict:
         """Render metrics over the keyframe set (wiring the reference's dead
         `eval_render` flag)."""

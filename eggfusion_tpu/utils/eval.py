@@ -169,6 +169,73 @@ def eval_render(ref_color, ref_depth, est_color, est_depth) -> dict:
     return out
 
 
+def unproject_depth(depth: np.ndarray, intr, c2w: np.ndarray,
+                    stride: int = 4) -> np.ndarray:
+    """Unproject a depth map to world-frame points (numpy, strided).
+
+    `intr` is (fx, fy, cx, cy); invalid (<= 0) depths are dropped.
+    """
+    d = np.asarray(depth, np.float64).squeeze()[::stride, ::stride]
+    fx, fy, cx, cy = [float(x) for x in np.asarray(intr).reshape(-1)[:4]]
+    H, W = d.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    xs = xs * stride
+    ys = ys * stride
+    m = d > 0
+    z = d[m]
+    x = (xs[m] - cx) / fx * z
+    y = (ys[m] - cy) / fy * z
+    pts = np.stack([x, y, z, np.ones_like(z)], axis=0)
+    return (np.asarray(c2w, np.float64) @ pts)[:3].T  # (M, 3)
+
+
+def eval_recon(map_xyz: np.ndarray, obs_clouds: list, thresh: float = 0.01,
+               max_points: int = 200_000, rng=None) -> dict:
+    """Reconstruction accuracy/completeness of the fused surfel map.
+
+    The reference ships an `eval_recon` config flag but never consumes it
+    (`/root/reference/configs/replica/base.yaml:103` — no call site in its
+    src); this wires it, using the standard point-cloud protocol against
+    the OBSERVED depth clouds (keyframe depths unprojected at their solved
+    poses — no GT mesh is required or shipped by the reference either):
+
+      accuracy      — surfel center -> nearest observed point distance
+      completeness  — observed point -> nearest surfel center distance
+      f1            — F-score at `thresh` (precision = frac(acc < t),
+                      recall = frac(comp < t))
+    """
+    from scipy.spatial import cKDTree
+
+    rng = rng or np.random.default_rng(0)
+    obs = np.concatenate(obs_clouds, axis=0)
+    if len(obs) == 0 or len(map_xyz) == 0:
+        return {}
+    if len(obs) > max_points:
+        obs = obs[rng.choice(len(obs), max_points, replace=False)]
+    mx = np.asarray(map_xyz, np.float64)
+    if len(mx) > max_points:
+        mx = mx[rng.choice(len(mx), max_points, replace=False)]
+    acc = cKDTree(obs).query(mx, workers=-1)[0]
+    comp = cKDTree(mx).query(obs, workers=-1)[0]
+    precision = float((acc < thresh).mean())
+    recall = float((comp < thresh).mean())
+    return {
+        "recon_acc_mean": float(acc.mean()),
+        "recon_acc_p90": float(np.quantile(acc, 0.9)),
+        "recon_comp_mean": float(comp.mean()),
+        "recon_comp_p90": float(np.quantile(comp, 0.9)),
+        "recon_precision": precision,
+        "recon_recall": recall,
+        "recon_f1": (
+            2 * precision * recall / (precision + recall)
+            if precision + recall > 0 else 0.0
+        ),
+        "recon_thresh_m": thresh,
+        "n_map_points": int(len(mx)),
+        "n_obs_points": int(len(obs)),
+    }
+
+
 def _lpips(est: np.ndarray, ref: np.ndarray) -> float | None:
     """LPIPS(alex) (reference metric, `eval_utils.py:107`) or None when the
     pretrained weights are unavailable (offline environment)."""

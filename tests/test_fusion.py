@@ -211,6 +211,38 @@ class TestMaintenance:
         assert int(s2.num_active()) == 15
 
 
+class TestDeferredMaintenance:
+    """The live loop's maintenance path (maintain_map(defer=True) +
+    _maintain_finish): prune dispatches immediately, but the compact
+    decision consumes async count copies a frame later — so maintenance
+    never blocks on a device round-trip mid-frame."""
+
+    def test_prune_now_compact_next_frame(self):
+        import jax.numpy as jnp
+
+        mp = TestMaintenance()._mapping(compact_frag=0.0)
+        s = _map_with([[0.0, 0.0, 2.0]] * 30)
+        err = np.zeros(s.capacity, np.int32)
+        err[:20] = 10
+        obs = np.zeros(s.capacity, np.int32)
+        obs[20:30] = 8
+        s = s.replace(error_count=jnp.asarray(err), observe_count=jnp.asarray(obs))
+        mp.surfels = sf.grow_surfels(s, 64)
+        mp.time = 30
+        mp.maintain_map(defer=True)
+        # prune already applied on-device; compact NOT yet (watermark intact)
+        assert int(mp.surfels.num_active()) == 10
+        assert int(mp.surfels.count) == 30
+        assert mp._maint_pending is not None
+
+        mp.time = 31
+        mp._maintain_finish()
+        assert mp._maint_pending is None
+        assert int(mp.surfels.count) == 10  # compacted on the next frame
+        assert mp._known_count == 10
+        assert mp._known_time == 30  # the consumed state predates frame 31
+
+
 class TestLaggedCapacityGrowth:
     """`_ensure_capacity` consumes count readbacks with lag N (pipelined,
     like the tracker's converged flags) and must still never overflow: every

@@ -63,6 +63,17 @@ class TestEndToEnd:
         assert metrics["psnr"] > 12.0, metrics
         assert metrics["depth_l1"] < 0.15, metrics
 
+    def test_recon_metrics(self, pipeline_run):
+        import os
+
+        ef, _ = pipeline_run
+        rep = ef.evaluate_recon(thresh=0.02)
+        # the fused map should lie on the observed surfaces: most surfel
+        # centers within 2 cm of the depth cloud and vice versa
+        assert rep["recon_f1"] > 0.7, rep
+        assert rep["recon_acc_mean"] < 0.05, rep
+        assert os.path.exists(os.path.join(ef.save_dir, "recon_metrics.json"))
+
     def test_artifacts_written(self, pipeline_run):
         import os
 

@@ -21,6 +21,15 @@ sys.path.insert(0, ".")
 def main():
     import jax
 
+    # the axon sitecustomize pin overrides JAX_PLATFORMS env; only the
+    # config route forces the virtual-device CPU platform (the TPU is a
+    # single chip — and shared: a stray client wedges the tunnel)
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass
+
     rows = []
     for n in (2, 4, 8):
         if n > len(jax.devices()):
