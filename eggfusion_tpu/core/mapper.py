@@ -133,11 +133,13 @@ def _safe_norm(x, axis=None, eps=1e-12):
     return jnp.sqrt(jnp.sum(x * x, axis=axis) + eps)
 
 
-def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig,
-                 pix_mask: jnp.ndarray | None = None):
-    """Mapping loss (reference `compute_loss`, `mapper.py:381-444`):
-    masked L1 color + L1 depth + (1 - cosine) normal + drift regularizer
-    against the detached round-start geometry.
+def compute_image_loss(render_out: dict, kf: dict, mcfg: MapperConfig,
+                       pix_mask: jnp.ndarray | None = None):
+    """Per-keyframe image terms of the mapping loss (reference
+    `compute_loss`, `mapper.py:381-444`): masked L1 color + L1 depth +
+    (1 - cosine) normal. Split out from the map-global drift regularizer
+    (`compute_reg_loss`) so the multi-chip window step can shard the image
+    terms per keyframe while computing the regularizer once.
 
     `pix_mask` ((H, W) bool) restricts the image terms to the pixels a
     tile-subset render actually composited."""
@@ -159,21 +161,32 @@ def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict
     cos = jnp.clip(cos, -1 + 1e-6, 1 - 1e-6)
     normal_loss = _masked_mean(jnp.abs(1.0 - cos), mask)
 
-    # drift regularizer: global L2 position norm (reference quirk: torch.norm
-    # over the whole tensor, `mapper.py:429`) + masked-mean normal cosine
+    return (
+        mcfg.color_weight * color_loss
+        + mcfg.depth_weight * depth_loss
+        + mcfg.normal_weight * normal_loss
+    )
+
+
+def compute_reg_loss(s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig):
+    """Drift regularizer vs the detached round-start geometry: global L2
+    position norm (reference quirk: torch.norm over the whole tensor,
+    `mapper.py:429`) + masked-mean normal cosine, pre-weighted by
+    `reg_weight`."""
     reg_pos = _safe_norm(geo_snapshot["position"] - s.xyz)
     ncos = jnp.sum(geo_snapshot["normal"] * s.get_normal(), axis=0)
     ncos = jnp.clip(ncos, -1 + 1e-6, 1 - 1e-6)
     reg_norm = _masked_mean(jnp.abs(1.0 - ncos), s.active)
-    reg_loss = reg_pos + mcfg.reg_weight_n * reg_norm
+    return mcfg.reg_weight * (reg_pos + mcfg.reg_weight_n * reg_norm)
 
-    total = (
-        mcfg.color_weight * color_loss
-        + mcfg.depth_weight * depth_loss
-        + mcfg.normal_weight * normal_loss
-        + mcfg.reg_weight * reg_loss
+
+def compute_loss(render_out: dict, kf: dict, s: sf.SurfelMap, geo_snapshot: dict, mcfg: MapperConfig,
+                 pix_mask: jnp.ndarray | None = None):
+    """Full mapping loss (reference `compute_loss`, `mapper.py:381-444`) =
+    image terms + drift regularizer."""
+    return compute_image_loss(render_out, kf, mcfg, pix_mask) + compute_reg_loss(
+        s, geo_snapshot, mcfg
     )
-    return total
 
 
 # slot reclamation: one argsort + gather over the SoA; donated so XLA can
@@ -377,6 +390,18 @@ class Mapping:
 
         self.renderer = renderer
         self.keyframe_manager = KeyFrameManager(cfg)
+        # multi-chip (VERDICT r3 #4): System.mesh_devices >= 1 switches the
+        # sliding-window/global optimization to the window-BATCHED,
+        # keyframe-sharded shard_map step (parallel.mesh) — the same
+        # algorithm at any device count, so mesh=1 == mesh=N trajectories.
+        # 0 (default) keeps the reference's sequential per-keyframe loop.
+        self.mesh = None
+        self._window_opt_step = None
+        mesh_devices = int(cfg.System.get("mesh_devices", 0))
+        if mesh_devices >= 1:
+            from eggfusion_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(mesh_devices)
         # NaN sentinel parity (reference `check_nan` + hard exit on NaN loss,
         # `mapper.py:21-27,440-442`): when System.check_nan is on, every
         # optimization step syncs the loss and every keyframe's maps are
@@ -398,8 +423,33 @@ class Mapping:
         # actual map size instead of the configured maximum.
         self.max_capacity = self.scfg.capacity
         self.bucketing = bool(cfg.System.get("capacity_bucketing", True))
+        # bucket ladder (round 4): geometric rungs of factor `bucket_factor`
+        # rounded to 8192, replacing power-of-two buckets. Every render-path
+        # cost is O(capacity) (binning sorts, slab back-map, projection,
+        # Adam), and the pow2 ladder wasted up to 2x: the 1280x704 bench ran
+        # its 131k-surfel map in a 524288 bucket — measured N-costs double
+        # the 262144-capacity numbers ACCURACY.md r3 quoted. Finer rungs
+        # mean more per-bucket compiles; `_maybe_precompile` warms the next
+        # rung in a background thread before growth needs it.
+        factor = float(cfg.System.get("bucket_factor", 1.4))
+        self._ladder = []
+        c = 32768
+        while c < self.max_capacity:
+            self._ladder.append(c)
+            c = -(-int(c * factor) // 8192) * 8192
+        self._ladder.append(self.max_capacity)
+        # spawn headroom budgeted above the freshest consumed count. The r3
+        # budget charged a FULL spawn_cap for every not-yet-consumed frame
+        # (lag x 45k at 1280x704), pushing the bucket a rung or two above
+        # the live map. spawn_cap is already 2x the Bernoulli expectation
+        # over every eligible pixel; steady-state spawns are a few hundred.
+        # If a burst outruns the margin, `append_surfels` drops the
+        # overflow for the 1-2 frames until the lag-N count readback
+        # triggers growth (drop-at-capacity is the documented policy) —
+        # transient spawn loss, re-spawned next frame, never a stall.
+        self._spawn_margin = self.mcfg.spawn_cap // 8 + 2048
         init_cap = (
-            self._bucket(self.mcfg.spawn_cap_init + self.mcfg.spawn_cap)
+            self._bucket(self.mcfg.spawn_cap_init + self._spawn_margin)
             if self.bucketing else self.max_capacity
         )
         self.surfels = sf.SurfelMap.empty(self.scfg._replace(capacity=init_cap))
@@ -416,7 +466,20 @@ class Mapping:
         self._opt_geo = None  # drift-regularizer anchor for the current round
         self._opt_moments = None
         self._opt_stepno = None
-        self._maint_pending = None  # async (count, active) refs of a deferred prune
+        self._maint_pending = None  # (time, count, active) refs of a deferred prune
+        # background next-bucket precompile state (see `_maybe_precompile`)
+        self._fm_sds = None  # frame_map ShapeDtypeStructs (captured live)
+        self._wh = None
+        self._precompiled: set[int] = set()
+        self._ready_buckets: set[int] = set()
+        self._precompile_thread = None
+        self._shrink_target: int | None = None
+        self.precompile_hooks: list = []  # fn(capacity, thunks) extensions
+        # fusion observability (VERDICT r3 #5): per-frame (fused, error)
+        # pixel counts, shipped as lag-N async copies like the count/converged
+        # readbacks; consumed into `fusion_stats` {time: (fused, error)}
+        self._stats_pending: deque = deque()
+        self.fusion_stats: dict[int, tuple[int, int]] = {}
         self.time = 0
         self.model_map: dict | None = None
         self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
@@ -459,7 +522,7 @@ class Mapping:
 
             key = jax.random.fold_in(root_key, time)  # per-frame key, in-program
             depth = frame_map["depth_map"]
-            stats = None
+            stats_vec = None
             model_map = None
             if not first:
                 s, stats = fusion.fuse_frame(
@@ -468,6 +531,12 @@ class Mapping:
                     frame_map["color_map"], depth, frame_map["geo_mask"],
                     mcfg.fusion_dist_thres, scfg,
                 )
+                # fused/error pixel counts packed as ONE (2,) i32 vector so
+                # the host ships a single async copy per frame (fusion
+                # observability — the canary that catches coverage
+                # regressions: fused collapsing to 0 while spawns hit cap
+                # was the round-2 death-spiral signature)
+                stats_vec = jnp.stack([stats.fused_pixels, stats.error_pixels])
                 model = render_at(sf.render_params(s), w2c, intr, width, height,
                                   geom_only=not full_post, need_grad=False)
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
@@ -498,7 +567,7 @@ class Mapping:
             )
             s = sf.append_surfels(s, batch, time, scfg.init_opacity)
             s = sf.update_stability(s, mcfg.stable_confidence)
-            return s, model_map, stats
+            return s, model_map, stats_vec
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def render_model(s: sf.SurfelMap, w2c, intr, width: int, height: int):
@@ -611,6 +680,12 @@ class Mapping:
         self._render_model = render_model
         self._opt_step = opt_step
         self._bin_cache = bin_cache
+        if self.mesh is not None:
+            from eggfusion_tpu.parallel import mesh as pmesh
+
+            self._window_opt_step = pmesh.make_window_opt_step(
+                render_at, mcfg, self.mesh, opt_cap=self.renderer.opt_raster_cap
+            )
 
     def warmup_lowerings(self, frame, frame_map: dict) -> list:
         """(label, thunk) pairs that `.lower(...).compile()` every mapping
@@ -670,36 +745,186 @@ class Mapping:
     # ----------------------------------------------------------------- host --
 
     def _bucket(self, needed: int) -> int:
-        """Smallest power-of-two bucket >= needed (floor 2^15), capped."""
-        cap = 1 << max(15, int(needed - 1).bit_length())
-        return min(cap, self.max_capacity)
+        """Smallest ladder rung >= needed (see `_ladder`), capped."""
+        needed = min(needed, self.max_capacity)
+        for c in self._ladder:
+            if c >= needed:
+                return c
+        return self.max_capacity
+
+    def _cap_needed(self) -> int:
+        """Capacity the map needs right now: freshest consumed count plus the
+        spawn headroom (`_spawn_margin`; the frame-0 init burst while no
+        count has been consumed yet)."""
+        need = self._known_count + self._spawn_margin
+        if self._known_time < 0:
+            need += self.mcfg.spawn_cap_init
+        return need
 
     def _ensure_capacity(self, first: bool) -> None:
-        """Grow the surfel SoA if this frame's spawn could overflow it.
+        """Grow the surfel SoA if the map could outgrow it.
 
         Count readbacks are pipelined with lag N (like the tracker's
         converged flags): each frame's post-update count starts an async
         device->host copy, and only copies at least `count_lag` frames old
         are consumed — so the host never waits for the device to catch up
         (a lag-1 read forces a full host/device round trip per frame on
-        remote-attached TPUs). The growth bound stays safe by budgeting
-        `spawn_cap` for every frame newer than the consumed count."""
+        remote-attached TPUs). Spawns that outrun the margin drop at
+        capacity for the 1-2 frames until the count catches up (see
+        `_spawn_margin`)."""
         while self._count_pending and self._count_pending[0][0] <= self.time - self.count_lag:
             t, ref = self._count_pending.popleft()
             self._known_count = int(np.asarray(ref))
             self._known_time = t
-        # budget every frame in (_known_time, self.time] whose spawn is not
-        # yet reflected in the consumed count (frame 0 spawns up to the
-        # larger init cap)
-        cap_needed = self._known_count
-        for j in range(max(self._known_time + 1, 0), self.time + 1):
-            cap_needed += self.mcfg.spawn_cap_init if j == 0 else self.mcfg.spawn_cap
+        cap_needed = self._cap_needed()
         if cap_needed > self.surfels.capacity:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
-            # capacity change invalidates amortized-opt per-capacity state
-            self._opt_cache = None
-            self._opt_kf = None
-            self._opt_moments = None
+            self._invalidate_capacity_state()
+            self._shrink_target = None
+        elif self.bucketing:
+            # pre-warm the NEXT rung before growth could need it. Trigger at
+            # one spawn-margin of headroom BELOW the growth point (growth
+            # fires at cap_needed > capacity): late enough that a stable map
+            # sitting anywhere under that never launches a wasted campaign
+            # (whose tunnel-RPC contention showed up as a 659 ms frame in
+            # the r4 bench), early enough for cache-hit recompiles; a cold
+            # campaign that loses the race just means growth falls back to
+            # the inline compile it always tolerated.
+            if cap_needed + self._spawn_margin > self.surfels.capacity \
+                    and self.surfels.capacity < self.max_capacity:
+                self._request_bucket_compile(self._bucket(self.surfels.capacity + 1))
+            self._consider_shrink(cap_needed)
+
+    def _consider_shrink(self, cap_needed: int) -> None:
+        """Live-loop shrink: when the map sits a full rung (plus a margin of
+        hysteresis) below its bucket — after the frame-0 init burst settles,
+        or after heavy pruning — request the smaller rung's programs in the
+        background and slice down once they are compiled. Shrinking before
+        the programs exist would stall the loop for the full compile
+        (tens of seconds cold through a tunnel-attached TPU)."""
+        rung = self._bucket(cap_needed + self._spawn_margin)  # hysteresis
+        if rung >= self.surfels.capacity:
+            self._shrink_target = None
+            return
+        if self._shrink_target != rung:
+            self._shrink_target = rung
+            self._request_bucket_compile(rung)
+        if not self._bucket_ready(rung):
+            return
+        # one-shot sync: the exact watermark decides safety (rare event)
+        wm = int(np.asarray(self.surfels.count))
+        if wm <= rung:
+            self.surfels = sf.shrink_surfels(self.surfels, rung)
+            self._invalidate_capacity_state()
+            self._known_count = wm
+            self._known_time = self.time
+            self._count_pending.clear()
+        self._shrink_target = None
+
+    def _invalidate_capacity_state(self) -> None:
+        """A capacity change invalidates amortized-opt per-capacity state."""
+        self._opt_cache = None
+        self._opt_kf = None
+        self._opt_moments = None
+
+    def _request_bucket_compile(self, cap: int) -> None:
+        """Compile `cap`'s programs in a background thread (round 4): a
+        mid-run growth/shrink otherwise compiles ~6 programs inline — a
+        multi-second stall even with the persistent cache, tens of seconds
+        cold through a tunnel-attached TPU. Lowers from ShapeDtypeStructs
+        (no device buffers); backend compiles release the GIL so frames
+        keep flowing. The later real calls re-trace (cheap) and hit the
+        persistent compilation cache."""
+        if self._fm_sds is None or cap in self._precompiled:
+            return
+        if self._precompile_thread is not None and self._precompile_thread.is_alive():
+            return  # one compile campaign at a time; retried next frame
+        self._precompiled.add(cap)
+        thunks = self._bucket_thunks(cap)
+        for hook in self.precompile_hooks:
+            hook(cap, thunks)
+
+        def run():
+            import concurrent.futures as cf
+
+            with cf.ThreadPoolExecutor(max_workers=3) as ex:
+                for fut in cf.as_completed([ex.submit(fn) for _, fn in thunks]):
+                    try:
+                        fut.result()
+                    except Exception:  # best-effort: fall back to inline compile
+                        pass
+            self._ready_buckets.add(cap)
+
+        import threading
+
+        self._precompile_thread = threading.Thread(target=run, daemon=True)
+        self._precompile_thread.start()
+
+    def _bucket_ready(self, cap: int) -> bool:
+        return cap in self._ready_buckets or jax.default_backend() == "cpu"
+
+    def surfel_sds(self, capacity: int):
+        """ShapeDtypeStruct pytree of the SoA at `capacity` (no buffers)."""
+        return jax.eval_shape(
+            functools.partial(sf.SurfelMap.empty, self.scfg._replace(capacity=capacity))
+        )
+
+    def _bucket_thunks(self, capacity: int) -> list:
+        """(label, thunk) pairs compiling every per-capacity program at
+        `capacity` from ShapeDtypeStructs captured off the live shapes."""
+        sds = jax.ShapeDtypeStruct
+        f32 = jnp.float32
+        W, H = self._wh
+        s = self.surfel_sds(capacity)
+        fm = self._fm_sds
+        kfm = {
+            "color": fm["color_map"], "depth": fm["depth_map"],
+            "normal": fm["normal_map_c"], "rgb_mask": fm["rgb_mask"],
+            "geo_mask": fm["geo_mask"],
+        }
+        w2c = sds((4, 4), f32)
+        intr = sds((4,), f32)
+        t0 = sds((), jnp.int32)
+        key = sds(self._rng.shape, self._rng.dtype)
+        params = {k: getattr(s, k) for k in OPT_FIELDS}
+        moments = {k: (v, v) for k, v in params.items()}
+        geo = {"position": s.xyz, "normal": sds(s.xyz.shape, f32)}
+        lrs = {k: sds((), f32) for k in OPT_FIELDS}
+        amortized = self.mcfg.opt_schedule == "amortized"
+
+        thunks = [
+            ("map_update", lambda: self._map_update.lower(
+                s, fm, w2c, intr, t0, key, width=W, height=H,
+                first=False, full_post=amortized).compile()),
+            ("render_model", lambda: self._render_model.lower(
+                s, w2c, intr, width=W, height=H).compile()),
+            ("compact", lambda: _compact_jit.lower(s).compile()),
+            ("prune", lambda: fusion.prune_unstable.lower(
+                s, self.scfg, t0, self.mcfg.prune_max_age).compile()),
+        ]
+        if self.mesh is not None:
+            # mesh mode uses the window-batched step; its batch shapes
+            # depend on the live window, so it compiles at first use
+            return thunks
+        if self.renderer.backend == "pallas":
+            def opt_cached():
+                cache = jax.eval_shape(
+                    functools.partial(self._bin_cache, width=W, height=H),
+                    s, w2c, intr)
+                return self._opt_step.lower(
+                    s, moments, t0, kfm, w2c, intr, geo, lrs, W, H,
+                    cache, key).compile()
+
+            thunks += [
+                ("bin_cache", lambda: self._bin_cache.lower(
+                    s, w2c, intr, width=W, height=H).compile()),
+                ("opt_step_cached", opt_cached),
+            ]
+        else:
+            thunks.append(("opt_step", lambda: self._opt_step.lower(
+                s, moments, t0, kfm, w2c, intr, geo, lrs, W, H,
+                None, key).compile()))
+        return thunks
 
     def mapping(self, frame, frame_map: dict) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
@@ -712,6 +937,11 @@ class Mapping:
         first = self.time == 0
         amortized = self.mcfg.opt_schedule == "amortized"
         opt_frame = self.time % self.mcfg.sw_optimize_freq == 0
+        if self._fm_sds is None:
+            self._fm_sds = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), frame_map
+            )
+            self._wh = (frame.width, frame.height)
         if self.bucketing:
             self._ensure_capacity(first)
         # amortized schedule: EVERY frame's map update emits the fused model
@@ -719,11 +949,21 @@ class Mapping:
         # post-optimization re-render; the next frame tracks a view at most
         # one micro-step stale)
         full_post = True if amortized else not opt_frame
-        self.surfels, model_map, _ = self._map_update(
+        self.surfels, model_map, stats_vec = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
             full_post,
         )
+        if stats_vec is not None:
+            try:
+                stats_vec.copy_to_host_async()
+            except Exception:
+                pass
+            self._stats_pending.append((self.time, stats_vec))
+        while self._stats_pending and self._stats_pending[0][0] <= self.time - self.count_lag:
+            t, ref = self._stats_pending.popleft()
+            v = np.asarray(ref)
+            self.fusion_stats[t] = (int(v[0]), int(v[1]))
         if self.bucketing:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
             # would delete the very buffer the async copy reads from
@@ -784,34 +1024,49 @@ class Mapping:
                     r.copy_to_host_async()
                 except Exception:
                     pass
-            self._maint_pending = (cnt, act)
+            self._maint_pending = (self.time, cnt, act)
             return
         self._maintain_decide(int(np.asarray(self.surfels.count)),
                               int(np.asarray(self.surfels.num_active())),
                               self.time)
 
     def _maintain_finish(self) -> None:
-        cnt, act = self._maint_pending
+        # consume only once the copies are `count_lag`+1 frames old — the
+        # device runs ~3 frames behind the host, so a next-frame read blocks
+        # for ~2 frames of device compute (the 209/222 ms outliers BENCH_r03
+        # showed on the frames after each prune; VERDICT r3 #2)
+        t, cnt, act = self._maint_pending
+        if self.time - t <= self.count_lag:
+            return
         self._maint_pending = None
-        # the copied scalars snapshot the post-prune state of the PREVIOUS
-        # frame — this frame's map_update has already dispatched its spawn,
-        # so the consumed count must be dated one frame back for the
-        # capacity budget to cover it
-        self._maintain_decide(int(np.asarray(cnt)), int(np.asarray(act)),
-                              self.time - 1)
+        # the copied scalars snapshot the post-prune state of frame t —
+        # dating the consumed count there keeps the capacity budget safe
+        self._maintain_decide(int(np.asarray(cnt)), int(np.asarray(act)), t,
+                              immediate=False)
 
-    def _maintain_decide(self, count: int, n_active: int, known_time: int) -> None:
+    def _maintain_decide(self, count: int, n_active: int, known_time: int,
+                         immediate: bool = True) -> None:
         if count - n_active > self.mcfg.compact_frag * self.surfels.capacity:
             self.surfels = _compact_jit(self.surfels)
             count = n_active
             # compaction permutes slots: cached binning / Adam moments /
             # drift anchors refer to the old slot order
-            self._opt_cache = None
-            self._opt_kf = None
-            self._opt_moments = None
+            self._invalidate_capacity_state()
         self._known_count = count
         self._known_time = known_time
         self._count_pending.clear()
+        # shrink-on-compact (round 4): pruning can leave the map a full
+        # ladder rung below its bucket; slicing the SoA prefix down
+        # re-earns the O(capacity) savings growth paid for. `immediate`
+        # (direct maintain_map calls, tests, bench warmup) shrinks here;
+        # the live loop instead lets `_consider_shrink` do it once the
+        # smaller rung's programs are background-compiled (a cold inline
+        # compile stalls the loop for tens of seconds through the tunnel).
+        if self.bucketing and immediate:
+            rung = self._bucket(count + 2 * self._spawn_margin)
+            if rung < self.surfels.capacity and count <= rung:
+                self.surfels = sf.shrink_surfels(self.surfels, rung)
+                self._invalidate_capacity_state()
 
     def _lrs_dev(self, lrs: dict) -> dict:
         """Device copies of the LR scalars, uploaded once (six per-frame tiny
@@ -822,6 +1077,24 @@ class Mapping:
             self._lrs_cache = (key, {k: jnp.float32(v) for k, v in lrs.items()})
         return self._lrs_cache[1]
 
+    def _window_batch(self, kfs: list):
+        """Stack keyframes into the fixed-size (B, ...) batch the sharded
+        window step consumes: B = window_size rounded up to a mesh multiple,
+        padding members masked out via `valid`."""
+        n = int(self.mesh.devices.size)
+        Bmax = max(self.keyframe_manager.window_size, 1)
+        B = -(-max(Bmax, n) // n) * n
+        kfs = kfs[:B]
+        maps = [kf.device_maps() for kf in kfs]
+        pads = B - len(kfs)
+        z = {k: jnp.zeros_like(v) for k, v in maps[0].items()}
+        kf_batch = {k: jnp.stack([m[k] for m in maps] + [z[k]] * pads)
+                    for k in maps[0]}
+        w2c = jnp.stack([jnp.asarray(kf.w2c) for kf in kfs]
+                        + [jnp.eye(4)] * pads)
+        valid = jnp.asarray([1.0] * len(kfs) + [0.0] * pads, jnp.float32)
+        return kf_batch, w2c, valid
+
     def _amortized_opt(self) -> None:
         """Spread the sliding-window optimization over every frame (see
         `MapperConfig.opt_schedule`): the same local_map_iter * |window| steps
@@ -829,12 +1102,20 @@ class Mapping:
         window member. The member's tile binning is computed once per
         rotation slot and reused across its frames (fusion moves surfels by
         ~mm — far below a tile; surfels spawned since simply miss their
-        gradient until the next rebin)."""
+        gradient until the next rebin).
+
+        Under a mesh (`System.mesh_devices`), each step instead renders the
+        WHOLE window batched (one keyframe shard per device), so the
+        accumulator advances `local_map_iter / sw_optimize_freq` batched
+        steps per frame — the same keyframe-render count per period."""
         window = list(self.keyframe_manager.sliding_window)
         if not window:
             return
         mcfg = self.mcfg
-        self._opt_acc += mcfg.local_map_iter * len(window) / mcfg.sw_optimize_freq
+        per_frame = mcfg.local_map_iter / mcfg.sw_optimize_freq
+        if self.mesh is None:
+            per_frame *= len(window)
+        self._opt_acc += per_frame
         n = int(self._opt_acc)
         if n == 0:
             return
@@ -847,6 +1128,21 @@ class Mapping:
             self._opt_moments = _adam_init(params)
             self._opt_stepno = jnp.int32(0)
             self._opt_geo = _geo_snapshot(self.surfels)
+
+        if self.mesh is not None:
+            kf0 = window[0]
+            kf_batch, w2c_b, valid = self._window_batch(window)
+            intr = jnp.asarray(kf0.intr)
+            lrs = self._lrs_dev(self.sw_lrs)
+            for _ in range(n):
+                (self.surfels, self._opt_moments, self._opt_stepno,
+                 loss) = self._window_opt_step(
+                    self.surfels, self._opt_moments, self._opt_stepno,
+                    kf_batch, w2c_b, valid, intr, self._opt_geo, lrs,
+                    kf0.width, kf0.height)
+                if self.debug_nan and not np.isfinite(float(np.asarray(loss))):
+                    raise FloatingPointError("NaN/Inf batched map-opt loss")
+            return
 
         rot = max(1, mcfg.sw_optimize_freq // len(window))
         kf = window[(self.time // rot) % len(window)]
@@ -920,20 +1216,46 @@ class Mapping:
                     )
         return loss  # device scalar; callers float() it only when reporting
 
+    def _optimize_batched(self, batches: list, n_steps_each: int, lrs: dict) -> float:
+        """Mesh path of `_optimize`: each element of `batches` is a list of
+        keyframes rendered TOGETHER (one shard per device) for
+        `n_steps_each` Adam steps."""
+        geo = _geo_snapshot(self.surfels)
+        params = {k: getattr(self.surfels, k) for k in OPT_FIELDS}
+        moments = _adam_init(params)
+        step = jnp.int32(0)
+        lrs_dev = {k: jnp.float32(v) for k, v in lrs.items()}
+        loss = jnp.float32(jnp.nan)
+        for kfs in batches:
+            kf_batch, w2c_b, valid = self._window_batch(kfs)
+            intr = jnp.asarray(kfs[0].intr)
+            for _ in range(n_steps_each):
+                self.surfels, moments, step, loss = self._window_opt_step(
+                    self.surfels, moments, step, kf_batch, w2c_b, valid,
+                    intr, geo, lrs_dev, kfs[0].width, kfs[0].height)
+                if self.debug_nan and not np.isfinite(float(np.asarray(loss))):
+                    raise FloatingPointError("NaN/Inf batched map-opt loss")
+        return loss
+
     def frame_batch_optimization(self, frame) -> float:
         """Sliding-window optimization (reference `mapper.py:336-378`):
         local_map_iter steps on each window member (init frame gets
-        local_map_iter_init)."""
+        local_map_iter_init); under a mesh, the same number of steps on the
+        window rendered as one sharded batch."""
         window = list(self.keyframe_manager.sliding_window)
         if not window:
             return float("nan")
         per_kf = self.mcfg.local_map_iter if self.time > 0 else self.mcfg.local_map_iter_init
+        if self.mesh is not None:
+            return self._optimize_batched([window], per_kf, self.sw_lrs)
         return self._optimize([(kf, per_kf) for kf in window], self.sw_lrs)
 
     def keyframe_optimization(self, keyframe_num: int = -1) -> float:
         """Final/global keyframe optimization (reference `mapper.py:197-240`):
         random-keyframe Adam steps, grouped into short runs so the render
-        cache amortizes without losing the stochastic visit order."""
+        cache amortizes without losing the stochastic visit order. Under a
+        mesh, each step renders a random keyframe SHARD per device at equal
+        total keyframe-render count."""
         ids = self.keyframe_manager.ids()
         if not ids:
             return float("nan")
@@ -943,6 +1265,14 @@ class Mapping:
         kfs = [self.keyframe_manager.keyframes[i] for i in ids[:keyframe_num]]
         iters = self.mcfg.final_global_opt_iter * keyframe_num
         rng = np.random.default_rng(self.time)
+        if self.mesh is not None:
+            B = max(self.keyframe_manager.window_size, 1)
+            n_batches = max(1, iters // B)
+            batches = [
+                [kfs[rng.integers(len(kfs))] for _ in range(min(B, len(kfs)))]
+                for _ in range(n_batches)
+            ]
+            return self._optimize_batched(batches, 1, self.global_lrs)
         run_len = min(4, iters)
         runs = [(kfs[rng.integers(len(kfs))], run_len) for _ in range(iters // run_len)]
         return self._optimize(runs, self.global_lrs)

@@ -57,9 +57,8 @@ class Renderer:
         # the `optcap1024` A/B arm (ATE 0.0009 cm, PSNR 29.49 vs 29.61 —
         # noise-level — at -23 ms/frame), hence default 1024 (never above
         # raster_cap). 0 = use raster_cap.
-        self.opt_raster_cap = (
-            int(cfg.System.get("opt_raster_cap", 0))
-            or min(1024, self.raster_cap)
+        self.opt_raster_cap = min(
+            int(cfg.System.get("opt_raster_cap", 0)) or 1024, self.raster_cap
         )
 
     def render(self, frame, params: dict) -> dict:

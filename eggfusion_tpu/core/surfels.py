@@ -20,8 +20,10 @@ pay one cheap transpose (~0.15 ms for the whole SoA at 600k).
 Field inventory matches the reference SoA (`gaussian_surfels.py:17-32`):
 optimizable (xyz, features_dc, features_rest, scaling, rotation, opacity) +
 probabilistic fusion state (eta, sigma2, observe_count, tic, error_count,
-inview/surface/stable masks). `confidence` is derived: sum(1/sigma2)
-(`gaussian_surfels.py:423-425`).
+stable mask). `confidence` is derived: sum(1/sigma2)
+(`gaussian_surfels.py:423-425`). The reference's `inview`/`surface` masks are
+written but never read downstream (`mapper.py:326-334`); they are omitted
+here — per-frame visibility is recomputed where needed.
 
 Activations (`gaussian_surfels.py:48-55`): exp scaling, sigmoid opacity,
 normalized quaternion. A surfel is a degenerate Gaussian: the 3rd log-scale is
@@ -74,8 +76,6 @@ class SurfelMap:
     observe_count: jnp.ndarray  # (C,) i32
     tic: jnp.ndarray  # (C,) i32 creation time
     error_count: jnp.ndarray  # (C,) i32
-    inview: jnp.ndarray  # (C,) bool
-    surface: jnp.ndarray  # (C,) bool
     stable: jnp.ndarray  # (C,) bool
     active: jnp.ndarray  # (C,) bool allocated & alive
     count: jnp.ndarray  # () i32 append watermark
@@ -99,8 +99,6 @@ class SurfelMap:
             observe_count=jnp.zeros((C,), jnp.int32),
             tic=jnp.zeros((C,), jnp.int32),
             error_count=jnp.zeros((C,), jnp.int32),
-            inview=jnp.zeros((C,), bool),
-            surface=jnp.zeros((C,), bool),
             stable=jnp.zeros((C,), bool),
             active=jnp.zeros((C,), bool),
             count=jnp.zeros((), jnp.int32),
@@ -244,8 +242,6 @@ def append_surfels(s: SurfelMap, batch: SpawnBatch, time: jnp.ndarray, init_opac
         observe_count=blend(s.observe_count, Kz((), jnp.int32, 0)),
         tic=blend(s.tic, jnp.full((K,), time, jnp.int32)),
         error_count=blend(s.error_count, Kz((), jnp.int32, 0)),
-        inview=blend(s.inview, Kz((), bool, True)),
-        surface=blend(s.surface, Kz((), bool, True)),
         stable=blend(s.stable, Kz((), bool, False)),
         active=blend(s.active, Kz((), bool, True)),
         count=jnp.minimum(s.count + n_valid, C),
@@ -288,11 +284,29 @@ def grow_surfels(s: SurfelMap, new_capacity: int) -> SurfelMap:
         observe_count=ext(s.observe_count),
         tic=ext(s.tic),
         error_count=ext(s.error_count),
-        inview=ext(s.inview, False),
-        surface=ext(s.surface, False),
         stable=ext(s.stable, False),
         active=ext(s.active, False),
     )
+
+
+@functools.partial(jax.jit, static_argnames=("new_capacity",))
+def shrink_surfels(s: SurfelMap, new_capacity: int) -> SurfelMap:
+    """Slice every SoA array down to a smaller capacity bucket.
+
+    Caller must guarantee the append watermark (`count`) fits: all written
+    slots live in the prefix `[0, count)` (true right after
+    `compact_surfels`, or whenever count <= new_capacity). The inverse of
+    `grow_surfels` — re-earns the O(capacity) per-frame savings after
+    pruning shrinks the live map."""
+    if new_capacity >= s.capacity:
+        return s
+
+    def cut(x):
+        if x.ndim == 0:
+            return x
+        return jax.lax.slice_in_dim(x, 0, new_capacity, axis=x.ndim - 1)
+
+    return jax.tree_util.tree_map(cut, s)
 
 
 def prune_surfels(s: SurfelMap, delete_mask: jnp.ndarray) -> SurfelMap:

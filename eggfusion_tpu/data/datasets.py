@@ -14,6 +14,7 @@ pivot kept (`dataset.py:157-161`), ScanNet++ axis flip (`dataset.py:259-262`).
 """
 from __future__ import annotations
 
+import functools
 import glob
 import json
 import os
@@ -332,9 +333,15 @@ class SyntheticDataset(RGBDDataset):
         from eggfusion_tpu.data import synthetic as syn
 
         n = int(config.Dataset.get("n_frames", 30))
+        # adversarial knobs (VERDICT r3 #3): alternative trajectories
+        # (handheld jitter + fast-rotation burst, out-and-back loop),
+        # Kinect-style sensor noise, and a textureless wall segment
+        traj = str(config.Dataset.get("trajectory", "sway"))
+        seed = int(config.Dataset.get("seed", 0))
+        self._noise = dict(config.Dataset.get("noise", {}) or {})
         self.seq = syn.SyntheticSequence(
             intr=self.intrinsics,
-            poses_w2c=syn.make_trajectory(n),
+            poses_w2c=syn.TRAJECTORIES[traj](n, seed),
             timestamps=np.arange(n) * 0.05,
         )
         self.n_imgs = n
@@ -354,10 +361,43 @@ class SyntheticDataset(RGBDDataset):
         self._device = bool(config.Dataset.get("device_frames", False))
         self._frames = []
         detail = float(config.Dataset.get("texture_detail", 0.0))
+        flat_x = float(config.Dataset.get("textureless_x", 0.0))
+        scene = str(config.Dataset.get("scene", "corner"))
+        # lazy_device: render each frame on demand, on device, instead of
+        # pregenerating — long sweeps (hundreds of unique frames at
+        # production resolution) neither fit HBM pregenerated nor tolerate
+        # per-frame host uploads on tunnel-attached TPUs. Requires
+        # device_frames and a main-thread consumer (preload off).
+        self._lazy = bool(config.Dataset.get("lazy_device", False))
+        if self._lazy:
+            self._device = True
+            self._gen = functools.partial(
+                syn.render_corner_scene_jit, self.intrinsics,
+                detail=detail, flat_x=flat_x, scene=scene,
+            )
+            import jax.numpy as jnp
+
+            self._dev_mask = jnp.ones(
+                (self.intrinsics.height, self.intrinsics.width, 1), jnp.float32)
+            return
         for i in range(self._unique):
             color, depth = syn.render_corner_scene_jit(
-                self.intrinsics, self.poses[i], detail=detail
+                self.intrinsics, self.poses[i], detail=detail, flat_x=flat_x,
+                scene=scene,
             )
+            if self._noise:
+                c, d = syn.apply_sensor_noise(
+                    np.asarray(color), np.asarray(depth),
+                    seed=seed * 100003 + i, **{
+                        k: float(v) for k, v in self._noise.items() if k != "enabled"
+                    },
+                )
+                if self._device:
+                    import jax.numpy as jnp
+
+                    color, depth = jnp.asarray(c), jnp.asarray(d)
+                else:
+                    color, depth = c, d
             if self._device:
                 self._frames.append((color, depth))
             else:
@@ -372,6 +412,12 @@ class SyntheticDataset(RGBDDataset):
             jax.block_until_ready(self._frames[-1][0])
 
     def __getitem__(self, idx: int):
+        if self._lazy:
+            # jit-cached device render; noise is not supported lazily (the
+            # host-side noise model would force a device round-trip)
+            color, depth = self._gen(w2c=self.poses[idx % self._unique])
+            return (self.ts[idx], color, depth, self._dev_mask,
+                    self.poses[idx % self._unique])
         color, depth = self._frames[idx % self._unique]
         if self._device:
             mask = self._dev_mask  # cached on device: per-frame host->device

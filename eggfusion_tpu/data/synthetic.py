@@ -49,8 +49,30 @@ _PLANES = np.array(
     dtype=np.float32,
 )
 
+# Large room (the surfel-accumulation envelope scene, VERDICT r3 #6): an
+# 8 x 4.4 x 8 m box with two beveled corners for full 6-DoF constraint at
+# every viewing direction. An orbiting camera near the walls keeps seeing
+# FRESH close-range wall area all the way around, so the map grows
+# continuously instead of re-observing one corner (the `room` scene +
+# `orbit` trajectory accumulate >=500k surfels at production resolution).
+_PLANES_ROOM = np.array(
+    [
+        [-1.0, 0.0, 0.0, 4.0],  # x = -4
+        [1.0, 0.0, 0.0, 4.0],  # x = +4
+        [0.0, 1.0, 0.0, 2.2],  # floor  y = 2.2
+        [0.0, -1.0, 0.0, 2.2],  # ceiling y = -2.2
+        [0.0, 0.0, 1.0, 4.0],  # z = +4
+        [0.0, 0.0, -1.0, 4.0],  # z = -4
+        _plane([1.0, 0.0, 1.0], 5.2),  # bevel (+x, +z)
+        _plane([-1.0, 0.0, -1.0], 5.2),  # bevel (-x, -z)
+    ],
+    dtype=np.float32,
+)
 
-def _texture(p: jnp.ndarray, detail: float = 0.0) -> jnp.ndarray:
+SCENES = {"corner": _PLANES, "room": _PLANES_ROOM}
+
+
+def _texture(p: jnp.ndarray, detail: float = 0.0, flat_x: float = 0.0) -> jnp.ndarray:
     """Smooth 3-channel procedural texture of world position (..., 3) -> (..., 3).
 
     `detail` > 0 adds a high-frequency speckle layer (product of incommensurate
@@ -69,13 +91,19 @@ def _texture(p: jnp.ndarray, detail: float = 0.0) -> jnp.ndarray:
             + 0.5 * jnp.tanh(4.0 * jnp.sin(61.0 * x + 2.1) * jnp.sin(53.0 * z))
         )
         tex = tex + detail * s[..., None]
+    if flat_x > 0.0:
+        # textureless segment (VERDICT r3 #3c): everything left of
+        # x = -flat_x renders a CONSTANT color — the photometric term gets
+        # zero gradient there and tracking must hold on geometry (ICP) alone
+        tex = jnp.where((p[..., 0] < -flat_x)[..., None], 0.55, tex)
     return jnp.clip(tex, 0.0, 1.0)
 
 
 def render_corner_scene(
-    intr: CameraIntrinsics, w2c, detail: float = 0.0
+    intr: CameraIntrinsics, w2c, detail: float = 0.0, flat_x: float = 0.0,
+    scene: str = "corner"
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Analytically ray-cast the corner scene from pose `w2c`.
+    """Analytically ray-cast a convex scene (see `SCENES`) from pose `w2c`.
 
     Returns (color (H, W, 3) in [0, 1], depth (H, W, 1) metric).
     For a convex region the first surface hit is the minimum positive
@@ -92,8 +120,9 @@ def render_corner_scene(
     cam_center = -R.T @ t  # camera origin in world
     rays_w = rays @ R  # R^T applied to each ray
 
-    n = jnp.asarray(_PLANES[:, :3])  # (P, 3)
-    d = jnp.asarray(_PLANES[:, 3])  # (P,)
+    planes = SCENES[scene]
+    n = jnp.asarray(planes[:, :3])  # (P, 3)
+    d = jnp.asarray(planes[:, 3])  # (P,)
     denom = jnp.einsum("hwc,pc->hwp", rays_w, n)
     numer = d[None, None, :] - jnp.einsum("c,pc->p", cam_center, n)[None, None, :]
     z = numer / jnp.where(jnp.abs(denom) < 1e-8, 1e-8, denom)
@@ -102,7 +131,7 @@ def render_corner_scene(
     depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
 
     p_w = cam_center[None, None, :] + depth[..., None] * rays_w
-    color = _texture(p_w, detail)
+    color = _texture(p_w, detail, flat_x)
     color = jnp.where(depth[..., None] > 0, color, 0.0)
     return color, depth[..., None]
 
@@ -150,6 +179,116 @@ def make_trajectory(n_frames: int = 30, translation_scale: float = 0.015, rotati
     return np.stack(poses)
 
 
+def make_handheld_trajectory(n_frames: int = 60, seed: int = 0,
+                             jitter_t: float = 0.004, jitter_r: float = 0.005,
+                             fast_rot_start: int = 24, fast_rot_len: int = 10,
+                             fast_rot_step: float = 0.035) -> np.ndarray:
+    """Adversarial handheld trajectory (VERDICT r3 #3b): the smooth sway of
+    `make_trajectory` plus per-frame white-noise pose jitter (~0.3 deg /
+    ~4 mm — handheld shake breaks the constant-velocity seed every frame)
+    and a fast-rotation burst (`fast_rot_step` rad/frame yaw ~ 2 deg/frame
+    over `fast_rot_len` frames — the TUM fr1-class regime where dense
+    tracking must either hang on or fall back to its seed)."""
+    rng = np.random.default_rng(seed)
+    base = make_trajectory(n_frames)
+    poses = []
+    yaw = 0.0
+    for i in range(n_frames):
+        T = base[i].copy()
+        if fast_rot_start <= i < fast_rot_start + fast_rot_len:
+            yaw += fast_rot_step
+        wj = rng.normal(scale=jitter_r, size=3)
+        cy_, sy_ = math.cos(yaw + wj[1]), math.sin(yaw + wj[1])
+        cx_, sx_ = math.cos(wj[0]), math.sin(wj[0])
+        cz_, sz_ = math.cos(wj[2]), math.sin(wj[2])
+        Ry = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]])
+        Rx = np.array([[1, 0, 0], [0, cx_, -sx_], [0, sx_, cx_]])
+        Rz = np.array([[cz_, -sz_, 0], [sz_, cz_, 0], [0, 0, 1]])
+        T[:3, :3] = (Ry @ Rx @ Rz @ T[:3, :3]).astype(np.float32)
+        T[:3, 3] += rng.normal(scale=jitter_t, size=3).astype(np.float32)
+        poses.append(T.astype(np.float32))
+    return np.stack(poses)
+
+
+def make_loop_trajectory(n_frames: int = 60, reach: float = 0.35,
+                         yaw_reach: float = 0.30, seed: int = 0,
+                         jitter_t: float = 0.002, jitter_r: float = 0.002) -> np.ndarray:
+    """Out-and-back loop (VERDICT r3 #3d): the camera translates + yaws away
+    over the first half and RETURNS to the start over the second — frame
+    N-1 revisits frame 0's view, so end-vs-start map/trajectory consistency
+    measures accumulated drift (the closest single-room analogue of a loop
+    closure test)."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        s = math.sin(math.pi * i / max(n_frames - 1, 1))  # 0 -> 1 -> 0
+        yaw = yaw_reach * s
+        tx = reach * s
+        ty = 0.3 * reach * math.sin(2 * math.pi * i / max(n_frames - 1, 1))
+        cy_, sy_ = math.cos(yaw), math.sin(yaw)
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]], np.float32)
+        T[:3, 3] = [tx + rng.normal(scale=jitter_t), ty + rng.normal(scale=jitter_t), 0.0]
+        wj = rng.normal(scale=jitter_r)
+        cx_, sx_ = math.cos(wj), math.sin(wj)
+        Rx = np.array([[1, 0, 0], [0, cx_, -sx_], [0, sx_, cx_]], np.float32)
+        T[:3, :3] = Rx @ T[:3, :3]
+        poses.append(T)
+    return np.stack(poses)
+
+
+TRAJECTORIES = {
+    "sway": lambda n, seed: make_trajectory(n),
+    "handheld": lambda n, seed: make_handheld_trajectory(n, seed=seed),
+    "loop": lambda n, seed: make_loop_trajectory(n, seed=seed),
+}
+
+
+def apply_sensor_noise(color: np.ndarray, depth: np.ndarray, seed: int,
+                       depth_sigma0: float = 0.001, depth_sigma2: float = 0.0015,
+                       depth_quant: float = 0.0028, edge_dropout_px: int = 2,
+                       dropout_frac: float = 0.005, color_sigma: float = 0.02):
+    """Kinect-style sensor noise (VERDICT r3 #3a), applied host-side per frame.
+
+    Depth: additive Gaussian with the structured-light variance law
+    sigma(z) = sigma0 + sigma2 * z^2 (Khoshelham & Elberink 2012 regime:
+    ~1 mm at 1 m, ~1 cm at 2.5 m), then QUANTIZED to steps of
+    depth_quant * z^2 (disparity-step law), plus edge dropout: pixels within
+    `edge_dropout_px` of a depth discontinuity lose their depth with high
+    probability (structured-light shadowing), and a `dropout_frac` salt of
+    random invalid pixels. Color: additive Gaussian, clipped.
+    """
+    rng = np.random.default_rng(seed)
+    edge_dropout_px = int(edge_dropout_px)
+    d = np.asarray(depth, np.float32).copy()
+    squeeze = d.ndim == 3
+    if squeeze:
+        d = d[..., 0]
+    valid = d > 0
+    z = np.where(valid, d, 1.0)
+    sigma = depth_sigma0 + depth_sigma2 * z * z
+    d = d + rng.normal(size=d.shape).astype(np.float32) * sigma * valid
+    step = np.maximum(depth_quant * z * z, 1e-6)
+    d = np.round(d / step) * step
+    # edge dropout: dilate the discontinuity mask and knock depth out there
+    gy, gx = np.gradient(np.where(valid, d, 0.0))
+    edge = (np.abs(gx) + np.abs(gy)) > 0.05
+    if edge_dropout_px > 0:
+        from scipy.ndimage import binary_dilation
+
+        edge = binary_dilation(edge, iterations=edge_dropout_px)
+        drop = edge & (rng.uniform(size=d.shape) < 0.7)
+        d = np.where(drop, 0.0, d)
+    if dropout_frac > 0:
+        d = np.where(rng.uniform(size=d.shape) < dropout_frac, 0.0, d)
+    d = np.maximum(d, 0.0).astype(np.float32)
+    c = np.asarray(color, np.float32)
+    if c.max() > 1.5:  # uint8 range
+        c = c / 255.0
+    c = np.clip(c + rng.normal(size=c.shape).astype(np.float32) * color_sigma, 0.0, 1.0)
+    return c, (d[..., None] if squeeze else d)
+
+
 def make_sequence(n_frames: int = 30, width: int = 160, height: int = 120) -> SyntheticSequence:
     intr = CameraIntrinsics(
         fx=0.9 * width, fy=0.9 * width, cx=width / 2 - 0.5, cy=height / 2 - 0.5, width=width, height=height
@@ -161,4 +300,34 @@ def make_sequence(n_frames: int = 30, width: int = 160, height: int = 120) -> Sy
     )
 
 
-render_corner_scene_jit = jax.jit(render_corner_scene, static_argnames=("intr", "detail"))
+def make_orbit_trajectory(n_frames: int = 300, radius: float = 2.2,
+                          turns: float = 1.0, bob: float = 0.08, seed: int = 0,
+                          jitter_t: float = 0.0, jitter_r: float = 0.0) -> np.ndarray:
+    """Orbit inside the `room` scene, camera facing outward — the map-growth
+    envelope trajectory (VERDICT r3 #6): every frame sees fresh close-range
+    wall, so surfels accumulate for the whole sweep instead of re-observing
+    one corner. `turns` circuits of radius `radius` over n_frames with a
+    vertical bob; returns (N, 4, 4) w2c."""
+    rng = np.random.default_rng(seed)
+    poses = []
+    for i in range(n_frames):
+        th = 2 * math.pi * turns * i / max(n_frames - 1, 1)
+        c = np.array([radius * math.sin(th), bob * math.sin(5 * th),
+                      -radius * math.cos(th)], np.float64)
+        # camera +z (forward) = radially outward (sin th, 0, -cos th):
+        # the wall 1.8 m away fills the view, fresh area all the way around
+        yaw = math.pi - th + (rng.normal(scale=jitter_r) if jitter_r else 0.0)
+        cy_, sy_ = math.cos(yaw), math.sin(yaw)
+        Rc2w = np.array([[cy_, 0, sy_], [0, 1, 0], [-sy_, 0, cy_]], np.float64)
+        if jitter_t:
+            c = c + rng.normal(scale=jitter_t, size=3)
+        T = np.eye(4, dtype=np.float64)
+        T[:3, :3] = Rc2w.T  # w2c
+        T[:3, 3] = -Rc2w.T @ c
+        poses.append(T.astype(np.float32))
+    return np.stack(poses)
+
+
+TRAJECTORIES["orbit"] = lambda n, seed: make_orbit_trajectory(n, seed=seed)
+
+render_corner_scene_jit = jax.jit(render_corner_scene, static_argnames=("intr", "detail", "flat_x", "scene"))

@@ -29,9 +29,12 @@ def load_checkpoint(path: str) -> tuple[SurfelMap, dict]:
     data = np.load(path, allow_pickle=False)
     fields = {}
     extra = {}
+    known = set(SurfelMap.__dataclass_fields__)
     for k in data.files:
         if k.startswith("surfel__"):
-            fields[k[len("surfel__"):]] = jax.numpy.asarray(data[k])
+            name = k[len("surfel__"):]
+            if name in known:  # tolerate checkpoints from older SoA layouts
+                fields[name] = jax.numpy.asarray(data[k])
         elif k.startswith("extra__"):
             extra[k[len("extra__"):]] = data[k]
     return SurfelMap(**fields), extra

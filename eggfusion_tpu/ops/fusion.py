@@ -133,7 +133,7 @@ def _fuse_with_winner(
 ):
     """Information-filter fusion given the per-surfel association flags
     (reference `preprocess_surfels` call, `mapper.py:278-308`): update of
-    position/normal, observe/error counting, inview/surface mask refresh.
+    position/normal, observe/error counting.
 
     Association gates: the surfel won its pixel, valid measurement
     (geo_mask & depth > 0), |measured vertex - surfel position| <
@@ -208,8 +208,6 @@ def _fuse_with_winner(
         ),
         observe_count=s.observe_count + touched.astype(jnp.int32),
         error_count=s.error_count + errors.astype(jnp.int32),
-        inview=touched | s.inview,
-        surface=jnp.where(touched, True, s.surface),
     )
     stats = FusionStats(
         fused_pixels=jnp.sum(associate.astype(jnp.int32)),
@@ -229,10 +227,8 @@ def fuse_surfels(
     color: jnp.ndarray,  # (H, W, 3)
     depth: jnp.ndarray,  # (H, W, 1) metric depth
     geo_mask: jnp.ndarray,  # (H, W, 1) bool valid-geometry mask
-    model_depth: jnp.ndarray,  # (H, W, 1) rendered model depth (surface test)
     fusion_dist_thres: float,
     cfg: SurfelConfig,
-    time: jnp.ndarray,
 ):
     """Fusion against an explicit index map (oracle/compat path): the winner
     flag is gathered from `imap` (exact f32 z-buffer association)."""

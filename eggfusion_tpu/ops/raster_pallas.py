@@ -114,7 +114,8 @@ A_OP = 5
 A_R, A_G, A_B = 6, 7, 8
 A_NX, A_NY, A_NZ = 9, 10, 11
 A_PX, A_PY, A_PZ = 12, 13, 14
-A_VAL = 15
+A_VAL = 15  # padding lane (VMEM tile alignment); validity now comes from the
+#             SMEM counts inside the kernels (`_lane_counts`)
 N_ATTR = 16
 
 
@@ -163,8 +164,13 @@ def _stripe_attrs(cg, S):
     )
 
 
-def _group_alpha(attrs, xs, ys):
-    """Alpha map (TILE_H, TILE_W) of one striped slot-group (16, TILE_W)."""
+def _group_alpha(attrs, xs, ys, vmask):
+    """Alpha map (TILE_H, TILE_W) of one striped slot-group (16, TILE_W).
+
+    `vmask` ((1, TILE_W) f32) zeroes lanes whose sub-column has fewer than
+    this group's slot count — computed from the SMEM counts inside the
+    kernel (round 4), replacing the A_VAL slab lane whose materialization
+    cost a full (T, CAP, 16) rewrite per render."""
     dx = xs - attrs[A_U : A_U + 1, :]
     dy = ys - attrs[A_V : A_V + 1, :]
     ca = attrs[A_CA : A_CA + 1, :]
@@ -172,8 +178,17 @@ def _group_alpha(attrs, xs, ys):
     cc = attrs[A_CC : A_CC + 1, :]
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
     raw = attrs[A_OP : A_OP + 1, :] * jnp.exp(power)
-    alpha = jnp.minimum(rc.MAX_ALPHA, raw) * attrs[A_VAL : A_VAL + 1, :]
+    alpha = jnp.minimum(rc.MAX_ALPHA, raw) * vmask
     return jnp.where(alpha >= rc.ALPHA_EPS, alpha, 0.0), raw, dx, dy
+
+
+def _lane_counts(counts_ref, t):
+    """(1, TILE_W) i32: each lane's own sub-column slot count (SMEM reads)."""
+    lane_sub = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1) // SUB_W
+    cnt = jnp.zeros((1, TILE_W), jnp.int32)
+    for c in range(N_SUB):
+        cnt = jnp.where(lane_sub == c, counts_ref[t, c], cnt)
+    return cnt
 
 
 def _group_zpx(attrs, rx, ry):
@@ -219,6 +234,7 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         S = _stripe_sel()
+        cnt_lanes = _lane_counts(counts_ref, t)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         # loop bound = the DEEPEST sub-column's slot count
         count = counts_ref[t, 0]
@@ -230,7 +246,7 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
         # chunked: one (CHUNK*N_SUB, 16) row-block load + static unroll per
         # chunk amortizes the dynamic-slice overhead; each unrolled step
         # composites one slot-GROUP (4 striped entries) in one vector op.
-        # Rows past a sub-column's count carry A_VAL = 0 -> alpha 0.
+        # Rows past a sub-column's count are masked to alpha 0 via cnt_lanes.
         def cond(carry):
             i = carry[0]
             T = carry[-1]
@@ -244,7 +260,8 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
             ch = entries_ref[0, pl.ds(i * rows, rows), :]
             for k in range(CHUNK):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                alpha, _, _, _ = _group_alpha(attrs, xs, ys)
+                vmask = (i * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                alpha, _, _, _ = _group_alpha(attrs, xs, ys, vmask)
                 z_px, _, _, _ = _group_zpx(attrs, rx, ry)
                 w = T * alpha
                 if not geom:
@@ -301,6 +318,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         t = pl.program_id(0)
         xs, ys, rx, ry = _pixel_grid(t, tx_tiles, intr_ref)
         S = _stripe_sel()
+        cnt_lanes = _lane_counts(counts_ref, t)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
         count = counts_ref[t, 0]
         for c in range(1, N_SUB):
@@ -327,7 +345,8 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
             ch = entries_ref[0, pl.ds(i * rows, rows), :]
             for k in range(CHUNK):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                alpha, _, _, _ = _group_alpha(attrs, xs, ys)
+                vmask = (i * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                alpha, _, _, _ = _group_alpha(attrs, xs, ys, vmask)
                 T = T * (1.0 - alpha)
             return i + 1, T
 
@@ -397,7 +416,8 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
             T = Tc
             for k in range(CHUNK):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                alpha, raw, dx, dy = _group_alpha(attrs, xs, ys)
+                vmask = (ci * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                alpha, raw, dx, dy = _group_alpha(attrs, xs, ys, vmask)
                 z_px, denom_safe, pn, use_plane = _group_zpx(attrs, rx, ry)
                 attrss.append(attrs)
                 alphas.append(alpha); raws.append(raw); dxs.append(dx); dys.append(dy)
@@ -469,9 +489,10 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
                 B = B + w * A
 
+            # invalid rows (slot >= count) already produce zero gradients:
+            # their vmask-zeroed alpha gates galpha through `live`, and every
+            # other column is weighted by w = T * alpha = 0
             cols = [_reduce_chunk(red_ins, j) for j in range(15)]
-            # g_op carries the entry-valid factor (rows past count -> 0)
-            cols[5] = cols[5] * ch[:, A_VAL : A_VAL + 1]
             cols.append(jnp.zeros((rows, 1), jnp.float32))
             dent_ref[0, pl.ds(ci * rows, rows), :] = jnp.concatenate(cols, axis=1)
             return (ci - 1, B)
@@ -824,7 +845,7 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
             proj.color,
             proj.normal_cam,
             proj.p_cam,
-            jnp.ones((1, proj.mean2d.shape[-1]), jnp.float32),  # val (masked below)
+            jnp.ones((1, proj.mean2d.shape[-1]), jnp.float32),  # pad lane (A_VAL)
         ],
         axis=0,
     ).T  # (N, 16)
@@ -840,12 +861,10 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
         entries = attrs[entry_sid]
     else:
         entries = _expand_entries(attrs, entry_sid, back_map)  # (T, CAP, 16)
-    # rows past a sub-column's count are still read by the lockstep sweep:
-    # zero their A_VAL so their alpha vanishes (other lanes can stay garbage).
-    # Slab row r belongs to sub-column r % N_SUB at slot r // N_SUB.
-    row = jnp.arange(cap, dtype=jnp.int32)
-    entry_valid = (row // N_SUB)[None, :] < counts[:, row % N_SUB]
-    entries = entries.at[..., A_VAL].set(entry_valid.astype(jnp.float32))
+    # rows past a sub-column's count are still read by the lockstep sweep;
+    # the kernels zero their alpha from the SMEM counts (`_lane_counts`) —
+    # no per-slab validity rewrite (round 4: the A_VAL `.at[].set` was a
+    # full (T, CAP, 16) materialization per render)
 
     if geom_only:
         composite = _make_geom_composite(hp, wp, cap, n_tiles, interpret)

@@ -1,22 +1,24 @@
-"""Multi-chip scaling over a `jax.sharding.Mesh`.
+"""Multi-chip scaling over a `jax.sharding.Mesh` — the PRODUCT path.
 
 The reference is single-GPU (SURVEY.md §2: no DP/TP/PP, no collectives); its
-only parallelism is CUDA data-parallel kernels. The honest TPU scaling axes
-for this workload are:
+only parallelism is CUDA data-parallel kernels. The honest TPU scaling axis
+for this workload is **keyframe data parallelism** for map optimization:
+the sliding-window / global optimization renders + differentiates several
+keyframes per Adam step, one shard of keyframes per device (a vmapped
+batch with `NamedSharding` constraints over the `kf` mesh axis; the GSPMD
+partitioner places each keyframe's render+backward on its device and
+all-reduces the gradients over ICI). The surfel map is replicated — at window
+scale the render/backward dominates end-to-end cost, and each device runs
+the unmodified single-chip Pallas rasterizer on its own keyframes.
 
-  * `kf`  — keyframe data parallelism for map optimization: each device
-            renders + differentiates a different keyframe of the batch;
-            gradients are mean-reduced (XLA inserts the psum over ICI).
-            This batches the reference's one-random-keyframe-per-iteration
-            Adam loop (`mapper.py:351-368`) into a B-way SPMD step — B
-            keyframes per step instead of 1, same expected gradient
-            direction, B* less wall-clock per epoch.
-  * `px`  — pixel sharding for fusion: the per-pixel association +
-            segment-sum reduction shards over image rows; XLA turns the
-            segment_sum into partial sums + all-reduce.
-
-Everything uses `jax.jit` with `NamedSharding` annotations — no manual
-collectives; XLA chooses reduce-scatter/all-gather placements over ICI.
+Design note (parity by construction): `System.mesh_devices >= 1` switches
+`Mapping` to this window-BATCHED optimization — the SAME algorithm at any
+device count (one batched step = mean-of-window gradient). mesh=1 and
+mesh=N therefore produce numerically near-identical trajectories (reduction
+order aside), which `tests/test_parallel.py` asserts on the virtual CPU
+mesh. The single-chip default (mesh_devices 0) keeps the reference's
+sequential per-keyframe schedule (`/root/reference/src/core/mapper.py:
+336-378`).
 """
 from __future__ import annotations
 
@@ -28,200 +30,152 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from eggfusion_tpu.core import surfels as sf
-from eggfusion_tpu.core.mapper import OPT_FIELDS, MapperConfig, _adam_init, _adam_update, compute_loss
-from eggfusion_tpu.ops import fusion
+from eggfusion_tpu.core.mapper import (
+    OPT_FIELDS, MapperConfig, _adam_update, compute_image_loss, compute_reg_loss,
+)
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "kf") -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if n > len(devs):
+        raise ValueError(
+            f"mesh_devices={n} but only {len(devs)} devices are visible "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count=N for a "
+            "virtual CPU mesh)"
+        )
     return Mesh(np.array(devs[:n]), (axis,))
 
 
-def make_dp_opt_step(render_at, mcfg: MapperConfig, mesh: Mesh, sh_degree: int = 3):
-    """Build the keyframe-data-parallel map-optimization step.
+def make_window_opt_step(render_at, mcfg: MapperConfig, mesh: Mesh,
+                         opt_cap: int | None = None):
+    """Window-batched, keyframe-sharded map-optimization step.
 
-    Returns step(surfels, moments, step_count, kf_batch, w2c_batch, intr,
-                 geo_snapshot, lrs, width, height) -> (surfels, moments,
-                 step_count, loss) with kf_batch sharded over the mesh axis
-    and the surfel map replicated.
+    Returns
+      step(s, moments, step_count, kf_batch, w2c_batch, valid, intr,
+           geo_snapshot, lrs, width, height) -> (s, moments, step_count, loss)
+
+    kf_batch leaves are (B, H, W, C) with B a multiple of the mesh size;
+    `valid` (B,) float masks padding members. Each device renders +
+    backprops its own B/n keyframes with the production rasterizer; the
+    masked-mean image loss reduces over the `kf` axis (GSPMD all-reduce
+    over ICI), the drift regularizer is computed once on the replicated
+    surfels, and one Adam step applies the averaged gradient (reference
+    loss semantics, `mapper.py:381-444`, batched).
     """
+    axis = mesh.axis_names[0]
     repl = NamedSharding(mesh, P())
-    batch_sh = NamedSharding(mesh, P("kf"))
+    batch_sh = NamedSharding(mesh, P(axis))
 
-    @functools.partial(jax.jit, static_argnames=("width", "height"))
-    def step(s: sf.SurfelMap, moments, step_count, kf_batch: dict, w2c_batch, intr,
-             geo_snapshot, lrs, width: int, height: int):
+    @functools.partial(jax.jit, static_argnames=("width", "height"),
+                       donate_argnums=(0, 1))
+    def step(s: sf.SurfelMap, moments, step_count, kf_batch: dict, w2c_batch,
+             valid, intr, geo_snapshot: dict, lrs: dict, width: int, height: int):
+        # batch axis sharded over `kf`, surfel map replicated: GSPMD places
+        # one keyframe shard's render+backward on each device and inserts
+        # the gradient all-reduce over ICI (the vmapped-batch partitioning
+        # pattern; a hand-written shard_map of the same loss compiles
+        # pathologically slowly on the CPU test mesh)
         kf_batch = jax.lax.with_sharding_constraint(
-            kf_batch, {k: batch_sh for k in kf_batch}
-        )
+            kf_batch, {k: batch_sh for k in kf_batch})
         w2c_batch = jax.lax.with_sharding_constraint(w2c_batch, batch_sh)
+        valid_sh = jax.lax.with_sharding_constraint(valid, batch_sh)
         params = {k: getattr(s, k) for k in OPT_FIELDS}
 
         def loss_fn(p):
             s2 = s.replace(**p)
             rp = sf.render_params(s2)
 
-            def per_kf(kf, w2c):
-                out = render_at(rp, w2c, intr, width, height)
-                return compute_loss(out, kf, s2, geo_snapshot, mcfg)
+            def per_kf(kf, w2c, v):
+                out = render_at(rp, w2c, intr, width, height, cap=opt_cap)
+                return v * compute_image_loss(out, kf, mcfg)
 
-            losses = jax.vmap(per_kf)(kf_batch, w2c_batch)
-            return jnp.mean(losses)
+            losses = jax.vmap(per_kf)(kf_batch, w2c_batch, valid_sh)
+            img = jnp.sum(losses) / jnp.maximum(jnp.sum(valid_sh), 1.0)
+            return img + compute_reg_loss(s2, geo_snapshot, mcfg)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        new_params, moments = _adam_update(params, grads, moments, step_count, lrs)
+        new_params, moments2 = _adam_update(params, grads, moments, step_count, lrs)
         s = s.replace(**new_params)
-        s = jax.lax.with_sharding_constraint(s, jax.tree_util.tree_map(lambda _: repl, s))
-        return s, moments, step_count + 1, loss
+        s = jax.lax.with_sharding_constraint(
+            s, jax.tree_util.tree_map(lambda _: repl, s))
+        return s, moments2, step_count + 1, loss
 
     return step
 
 
-def make_sharded_fusion(mesh: Mesh, scfg, fusion_dist_thres: float):
-    """Surfel-sharded fusion wrapper: the per-surfel gather/update shards over
-    the surfel axis (frame maps replicated); XLA all-gathers only the small
-    per-device stats."""
-    # surfel axis is the TRAILING axis of the transposed (k, N) SoA
-    surf = NamedSharding(mesh, P(None, "kf"))
-    repl = NamedSharding(mesh, P())
-
-    @jax.jit
-    def fuse(s: sf.SurfelMap, imap, w2c, intr, vertex_w, normal_w, color, depth, geo_mask, model_depth, time):
-        s = s.replace(
-            xyz=jax.lax.with_sharding_constraint(s.xyz, surf),
-            eta=jax.lax.with_sharding_constraint(s.eta, surf),
-            sigma2=jax.lax.with_sharding_constraint(s.sigma2, surf),
-        )
-        s2, stats = fusion.fuse_surfels(
-            s, imap, w2c, intr, vertex_w, normal_w, color, depth, geo_mask, model_depth,
-            fusion_dist_thres, scfg, time,
-        )
-        s2 = jax.lax.with_sharding_constraint(s2, jax.tree_util.tree_map(lambda _: repl, s2))
-        return s2, stats
-
-    return fuse
-
-
 def run_multichip_dryrun(
     n_devices: int,
-    width: int = 256,
-    height: int = 128,
-    n_surfels: int = 16384,
-    backend: str = "pallas",
-    n_steps: int = 2,
+    width: int = 160,
+    height: int = 96,
+    n_frames: int = 8,
+    max_surfels: int = 8192,
     verbose: bool = True,
 ) -> dict:
-    """Full data-parallel mapping train steps + sharded fusion at a realistic
-    scale, with the PRODUCTION renderer (VERDICT r2 #6: the round-2 dryrun
-    was a 32x16 / 128-surfel toy on the XLA oracle).
+    """Drive the REAL product pipeline (`EGGFusion.reconstruct`) over an
+    n-device mesh (VERDICT r3 #4: no bespoke harness): the synthetic corner
+    sequence runs track -> preprocess -> map -> postprocess per frame with
+    `System.mesh_devices = n`, so sliding-window optimization executes the
+    window-batched sharded step on every frame. Returns trajectory +
+    fusion stats; used by `__graft_entry__.dryrun_multichip` (driver
+    contract) and `tools/mesh_scaling.py`.
 
-    Defaults: 256x128 image, 16k surfels, the Pallas rasterizer fwd+bwd
-    (interpret mode off-TPU), `n_steps` optimization steps (step 1 measures
-    compile, step 2 measures execute). Returns a timing/stat dict; used by
-    `__graft_entry__.dryrun_multichip` (driver contract) and
-    `tools/mesh_scaling.py` (2/4/8-device table).
+    Default sizes are bounded by the CPU-mesh render backend (the XLA
+    oracle is O(N*H*W)); on a real TPU mesh the same config runs the
+    Pallas rasterizer and scales to production sizes.
     """
     import time as _time
 
-    mesh = make_mesh(n_devices)
+    from eggfusion_tpu import config as cfglib
+    from eggfusion_tpu.data.datasets import load_dataset
+    from eggfusion_tpu.main import build_frame
+    from eggfusion_tpu.system import EGGFusion
+    from eggfusion_tpu.utils import eval as evalu
 
-    scfg = sf.SurfelConfig(capacity=n_surfels, max_sh_degree=0, active_sh_degree=0)
-    mcfg = MapperConfig()
-    Wd, Ht = width, height
-    B = n_devices
-
-    rng = np.random.default_rng(0)
-    n_sf = n_surfels
-    # seed surfels ON the measured surface (the frame below observes a z=2.0
-    # plane with a 0.1 m association gate) so the sharded fusion path has
-    # real work to do and the fused-count assertion is meaningful
-    xyz = np.concatenate([rng.uniform(-2.5, 2.5, (n_sf, 2)), rng.uniform(1.98, 2.02, (n_sf, 1))], -1)
-    nrm = np.tile(np.array([0.0, 0.0, -1.0]), (n_sf, 1)).astype(np.float32)
-    lam = np.full((n_sf, 2), 4.0, np.float32)
-    batch = sf.SpawnBatch(
-        xyz=jnp.asarray(xyz, jnp.float32),
-        normal=jnp.asarray(nrm),
-        color=jnp.asarray(rng.uniform(size=(n_sf, 3)), jnp.float32),
-        dist=jnp.full((n_sf, 3), 0.05),
-        eta=jnp.asarray(np.concatenate([xyz * lam[:, :1], nrm * lam[:, 1:]], -1), jnp.float32),
-        sigma2=jnp.asarray(1.0 / lam),
-        valid=jnp.ones(n_sf, bool),
+    cfg = cfglib.default_config(
+        Dataset={
+            "type": "synthetic", "n_frames": n_frames, "preload": False,
+            "Calibration": {
+                "fx": 0.75 * width, "fy": 0.75 * width,
+                "cx": width / 2 - 0.5, "cy": height / 2 - 0.5,
+                "width": width, "height": height, "depth_scale": 1.0,
+            },
+        },
+        Viewer={"max_surfels_num": max_surfels},
+        Mapping={"local_map_iter_init": 4, "local_map_iter": 2,
+                 "sample_ratio": 0.05, "sample_ratio_init": 0.2},
+        Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+        # the production rasterizer (interpret mode off-TPU): this is what a
+        # real TPU mesh runs, and the XLA oracle's O(N*H*W) autodiff graph
+        # is pathologically slow to compile at batch size B on the CPU mesh
+        System={"mesh_devices": n_devices, "render_backend": "pallas",
+                "save_dir": "results/multichip_dryrun",
+                "final_global_opt": False},
     )
-    s = sf.append_surfels(sf.SurfelMap.empty(scfg), batch, jnp.int32(0), 0.99)
-
-    intr = jnp.asarray([0.75 * Wd, 0.75 * Wd, Wd / 2 - 0.5, Ht / 2 - 0.5])
-
-    if backend == "pallas":
-        from eggfusion_tpu.ops.raster_pallas import render_pallas
-
-        def render_at(rp, w2c, intr_, width, height):
-            return render_pallas(rp, w2c, intr_, width, height, sh_degree=0)
-    else:
-        from eggfusion_tpu.ops.raster_xla import render_xla
-
-        def render_at(rp, w2c, intr_, width, height):
-            return render_xla(rp, w2c, intr_, width, height, sh_degree=0)
-
-    # ---- data-parallel optimization steps (kf axis, production renderer) ----
-    step = make_dp_opt_step(render_at, mcfg, mesh, sh_degree=0)
-    kf_batch = {
-        "color": jnp.asarray(rng.uniform(size=(B, Ht, Wd, 3)), jnp.float32),
-        "depth": jnp.full((B, Ht, Wd, 1), 2.0),
-        "normal": jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (B, Ht, Wd, 1)),
-        "rgb_mask": jnp.ones((B, Ht, Wd, 1), bool),
-        "geo_mask": jnp.ones((B, Ht, Wd, 1), bool),
-    }
-    w2c_batch = jnp.tile(jnp.eye(4), (B, 1, 1))
-    geo = {"position": s.xyz, "normal": s.get_normal()}
-    lrs = {k: jnp.float32(1e-3) for k in ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")}
-    params = {k: getattr(s, k) for k in ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")}
-    moments = _adam_init(params)
-
-    timings = {}
-    cnt = jnp.int32(0)
-    loss = None
-    for i in range(max(1, n_steps)):
-        t0 = _time.perf_counter()
-        s, moments, cnt, loss = step(s, moments, cnt, kf_batch, w2c_batch, intr, geo, lrs, Wd, Ht)
-        jax.block_until_ready(loss)
-        timings["opt_compile_s" if i == 0 else "opt_step_s"] = round(_time.perf_counter() - t0, 3)
-    assert np.isfinite(float(loss)), "dp opt step produced non-finite loss"
-
-    # ---- pixel-sharded fusion ----
-    fuse = make_sharded_fusion(mesh, scfg, 0.1)
-    imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), intr, Wd, Ht)
-    # measured vertex map: the z=2.0 plane properly BACKPROJECTED per pixel
-    # (a constant (0,0,2) map puts every off-axis measurement >0.1 m from its
-    # surfel and the association gate rejects nearly everything)
-    ys, xs = jnp.meshgrid(
-        jnp.arange(Ht, dtype=jnp.float32), jnp.arange(Wd, dtype=jnp.float32), indexing="ij"
-    )
-    vert = jnp.stack(
-        [(xs - intr[2]) / intr[0] * 2.0, (ys - intr[3]) / intr[1] * 2.0, jnp.full((Ht, Wd), 2.0)],
-        axis=-1,
-    )
-    nrmm = jnp.tile(jnp.asarray([0.0, 0.0, -1.0]), (Ht, Wd, 1))
     t0 = _time.perf_counter()
-    s, stats = fuse(s, imap, jnp.eye(4), intr, vert, nrmm, kf_batch["color"][0], kf_batch["depth"][0],
-                    kf_batch["geo_mask"][0], kf_batch["depth"][0], jnp.int32(1))
-    jax.block_until_ready(s.xyz)
-    timings["fuse_s"] = round(_time.perf_counter() - t0, 3)
-    fused = int(stats.fused_pixels)
-    assert fused >= 100, (
-        f"sharded fusion associated only {fused} pixels — at {Wd}x{Ht} with "
-        "surfels seeded on the measured surface, hundreds must associate"
-    )
+    dataset = load_dataset(cfg)
+    ef = EGGFusion(cfg)
+    for fid in range(n_frames):
+        ef.reconstruct(build_frame(dataset, fid, False))
+    jax.block_until_ready(ef.mapper.surfels.xyz)
+    wall = _time.perf_counter() - t0
+
+    ref = ef._traj_np("ref")[:, :3, 3]  # already c2w (see append_trajectory)
+    est = ef._traj_np("est")[:, :3, 3]
+    ate = evalu.ate_rmse(ref, est)
+    fused = max((f for _, (f, _e) in ef.mapper.fusion_stats.items()), default=0)
+    n_surf = int(np.asarray(ef.mapper.surfels.num_active()))
+    assert np.isfinite(ate), "multichip run produced a non-finite trajectory"
+    assert fused > 100, f"sharded window optimization ran but fusion only associated {fused} px"
+    assert n_surf > 500, f"map did not populate ({n_surf} surfels)"
     result = {
-        "n_devices": n_devices, "width": Wd, "height": Ht,
-        "n_surfels": n_sf, "backend": backend,
-        "loss": round(float(loss), 4), "fused": fused, **timings,
+        "n_devices": n_devices, "width": width, "height": height,
+        "n_frames": n_frames, "ate_cm": round(float(ate), 4),
+        "surfels": n_surf, "max_fused_px": int(fused),
+        "wall_s": round(wall, 1),
+        "opt_steps": int(np.asarray(ef.mapper._opt_stepno))
+        if ef.mapper._opt_stepno is not None else 0,
     }
     if verbose:
-        print(
-            f"multichip dryrun ok on {n_devices} devices "
-            f"({backend} {Wd}x{Ht}, {n_sf} surfels): loss={result['loss']}, "
-            f"fused={fused}, opt compile {timings.get('opt_compile_s')}s, "
-            f"step {timings.get('opt_step_s')}s, fuse {timings['fuse_s']}s"
-        )
+        print(f"multichip dryrun ok on {n_devices} devices: {result}")
     return result

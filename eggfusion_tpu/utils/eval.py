@@ -46,6 +46,45 @@ def ate_rmse(poses_ref: np.ndarray, poses_est: np.ndarray) -> float:
     return float(np.sqrt(err @ err / len(err)) * 100.0)
 
 
+def cumulative_ate(poses_ref: np.ndarray, poses_est: np.ndarray) -> np.ndarray:
+    """ATE RMSE (cm) of every trajectory prefix, O(n) total.
+
+    Equivalent to `[ate_rmse(ref[:k], est[:k]) for k in 1..n]` (the reference
+    plots this curve, `system.py:167-196`) but runs on running sums instead of
+    a Horn alignment per prefix: with centered cross-covariance W_k and
+    centered square sums S_mm/S_dd, the aligned residual is closed-form
+    ||err||^2 = S_mm + S_dd - 2 * sum_i d_i * sigma_i(W_k) (d = (1,1,det
+    correction)), so each prefix costs one 3x3 SVD — O(n) overall instead of
+    the naive sweep's O(n^2) (minutes at TUM-length sequences)."""
+    m = np.asarray(poses_est, np.float64)  # horn_align's `model`
+    d = np.asarray(poses_ref, np.float64)
+    n = len(m)
+    out = np.empty(n)
+    sum_m = np.zeros(3)
+    sum_d = np.zeros(3)
+    sum_mm = 0.0
+    sum_dd = 0.0
+    sum_W = np.zeros((3, 3))
+    for k in range(n):
+        sum_m += m[k]
+        sum_d += d[k]
+        sum_mm += m[k] @ m[k]
+        sum_dd += d[k] @ d[k]
+        sum_W += np.outer(m[k], d[k])
+        c = k + 1
+        mu_m = sum_m / c
+        mu_d = sum_d / c
+        S_mm = sum_mm - c * (mu_m @ mu_m)
+        S_dd = sum_dd - c * (mu_d @ mu_d)
+        W = sum_W - c * np.outer(mu_m, mu_d)
+        U, sig, Vh = np.linalg.svd(W.T)
+        sign = np.sign(np.linalg.det(U) * np.linalg.det(Vh)) or 1.0
+        tr = sig[0] + sig[1] + sign * sig[2]
+        sq = max(S_mm + S_dd - 2.0 * tr, 0.0)
+        out[k] = np.sqrt(sq / c) * 100.0
+    return out
+
+
 def matrix_to_tum(ts: float, matrix: np.ndarray) -> list:
     q = Rotation.from_matrix(matrix[:3, :3]).as_quat()
     p = matrix[:3, 3]
@@ -160,12 +199,13 @@ def eval_render(ref_color, ref_depth, est_color, est_depth) -> dict:
         "depth_l1": depth_l1(est_depth, ref_depth),
     }
     lp = _lpips(ec, rc)
+    # metric values stay strictly numeric-or-None so downstream consumers of
+    # render_metrics.json can aggregate without type checks; the availability
+    # message (no local AlexNet weights, zero egress to fetch them) rides in
+    # a separate note field
+    out["lpips"] = lp
     if lp is None:
-        # VERDICT r2 #8: say WHY rather than emitting a silent NaN — the
-        # env has no local AlexNet weights and zero egress to fetch them
-        out["lpips"] = "unavailable (no local AlexNet weights)"
-    else:
-        out["lpips"] = lp
+        out["lpips_note"] = "unavailable (no local AlexNet weights)"
     return out
 
 

@@ -71,8 +71,7 @@ class TestFusion:
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         # measurement at the surfel's pixel, offset by 1 cm in x
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.01, 0.0, 2.0))
-        model_depth = dep
-        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, model_depth, 0.1, CFG, jnp.int32(1))
+        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.1, CFG)
         assert int(stats.fused_pixels) == 1
         # information filter: lam_old = 1, lam_meas = 1/(2*1)^2 = 0.25
         # x_new = (eta_old + 0.25 * 0.01) / 1.25 in x; eta_old_x = 0
@@ -87,14 +86,14 @@ class TestFusion:
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 2.0))
         for t in range(50):
             imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
-            s, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.2, CFG, jnp.int32(t))
+            s, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.2, CFG)
         assert abs(float(s.xyz[0, 0])) < 0.01  # pulled toward repeated measurement
 
     def test_distance_gate_counts_error(self):
         s = _map_with([[0.0, 0.0, 2.0]], sigma2=[[1.0, 1.0]])
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.0, 0.0, 3.0))  # 1 m off
-        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        s2, stats = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.1, CFG)
         assert int(stats.fused_pixels) == 0
         assert int(s2.observe_count[0]) == 0
         assert int(s2.error_count[0]) == 1
@@ -105,7 +104,7 @@ class TestFusion:
         s = s.replace(stable=s.stable.at[0].set(True))
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         vert, nrm, col, dep, geo = self._frame(lambda x, y: (0.02, 0.0, 2.0))
-        s2, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, dep, 0.1, CFG, jnp.int32(1))
+        s2, _ = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.1, CFG)
         np.testing.assert_allclose(np.asarray(s2.xyz[:, 0]), [0, 0, 2.0], atol=1e-6)
         assert int(s2.observe_count[0]) == 1  # still counted
 
@@ -132,7 +131,7 @@ class TestFuseFrame:
         geo = jnp.ones((H, W, 1), bool)
         imap, _ = fusion.project_surfels_to_frame(s.xyz, s.active, jnp.eye(4), INTR, W, H)
         sA, stA = fusion.fuse_surfels(s, imap, jnp.eye(4), INTR, vert, nrm, col,
-                                      dep, geo, dep, 0.2, CFG, jnp.int32(1))
+                                      dep, geo, 0.2, CFG)
         sB, stB = fusion.fuse_frame(s, jnp.eye(4), INTR, vert, nrm, col, dep, geo, 0.2, CFG)
         assert int(stA.fused_pixels) == int(stB.fused_pixels)
         np.testing.assert_allclose(np.asarray(sA.xyz), np.asarray(sB.xyz), atol=1e-6)
@@ -235,10 +234,17 @@ class TestDeferredMaintenance:
         assert int(mp.surfels.count) == 30
         assert mp._maint_pending is not None
 
+        # the copies are consumed only once count_lag+1 frames old — an
+        # earlier read blocks on ~2 frames of device compute (the 209/222 ms
+        # outliers of BENCH_r03; VERDICT r3 #2)
         mp.time = 31
         mp._maintain_finish()
+        assert mp._maint_pending is not None  # too fresh: no-op, no block
+
+        mp.time = 30 + mp.count_lag + 1
+        mp._maintain_finish()
         assert mp._maint_pending is None
-        assert int(mp.surfels.count) == 10  # compacted on the next frame
+        assert int(mp.surfels.count) == 10  # compacted once the copies aged
         assert mp._known_count == 10
         assert mp._known_time == 30  # the consumed state predates frame 31
 
@@ -261,31 +267,47 @@ class TestLaggedCapacityGrowth:
         )
         return Mapping(cfg, Renderer(cfg, backend="xla"))
 
-    def test_growth_budgets_unconsumed_frames(self):
+    def test_growth_budgets_margin_over_consumed_count(self):
+        """Round-4 budget policy: capacity = freshest consumed count +
+        `_spawn_margin` (plus the init burst while nothing is consumed).
+        Bursts that outrun the margin drop at capacity for the 1-2 frames
+        until the lag-N count readback lands (documented drop-at-capacity
+        policy), instead of the r3 policy of budgeting a full spawn_cap per
+        unconsumed frame (which held the 131k-surfel bench map in a 524288
+        bucket — 2x every O(capacity) cost)."""
         import jax.numpy as jnp
 
         mp = self._mapping()
         assert mp.bucketing
         cap0 = mp.surfels.capacity
-        spawn = mp.mcfg.spawn_cap
+        assert cap0 >= mp.mcfg.spawn_cap_init + mp._spawn_margin
 
         # a count ref from frame 0 that is NOT yet old enough to consume
-        near_full = cap0 - spawn // 2
+        near_full = cap0 - mp._spawn_margin // 2
         mp._count_pending.append((0, jnp.int32(near_full)))
         mp.time = 1
-        # lag 2: the frame-0 ref must not be consumed at time 1, but the
-        # budget (unknown frames 0..1) must still trigger growth from the
-        # initial bucket
         mp._ensure_capacity(first=False)
         assert mp._known_time == -1  # nothing consumed
-        assert mp.surfels.capacity >= mp.mcfg.spawn_cap_init + 2 * spawn
+        assert mp.surfels.capacity == cap0  # no growth on unconsumed refs
 
         # once the ref ages past the lag it is consumed and sizes the bucket
         mp.time = 2
         mp._ensure_capacity(first=False)
         assert mp._known_time == 0
         assert mp._known_count == near_full
-        assert mp.surfels.capacity >= near_full + 2 * spawn
+        assert mp.surfels.capacity >= near_full + mp._spawn_margin
+
+    def test_shrink_after_prune(self):
+        """Shrink-on-compact: after maintenance leaves the live map far
+        below its bucket, the SoA slices down a rung (the inverse of
+        growth), re-earning the O(capacity) per-frame savings."""
+        mp = self._mapping()
+        big = mp._ladder[2] if len(mp._ladder) > 2 else mp.surfels.capacity
+        mp.surfels = sf.grow_surfels(mp.surfels, big)
+        # tiny live map at a huge bucket; watermark inside the small rung
+        mp._maintain_decide(count=100, n_active=100, known_time=5)
+        assert mp.surfels.capacity == mp._bucket(100 + 2 * mp._spawn_margin)
+        assert mp.surfels.capacity < big
 
 
 class TestSaturationRecovery:

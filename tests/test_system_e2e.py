@@ -50,6 +50,21 @@ class TestEndToEnd:
         # synthetic sub-cm motion; tracked trajectory should be within ~1 cm
         assert ate < 1.0, f"ATE {ate} cm"
 
+    def test_fusion_observability(self, pipeline_run):
+        """Fused-pixel counts are logged per frame and are healthy (VERDICT
+        r3 #5): fused collapsing to ~0 while spawns run hot was the round-2
+        spawn-flood signature — this is the cheap canary for the next
+        coverage regression."""
+        ef, cfg = pipeline_run
+        stats = ef.mapper.fusion_stats
+        assert stats, "no fusion stats were consumed"
+        H = int(cfg.Dataset.Calibration.height)
+        W = int(cfg.Dataset.Calibration.width)
+        later = [f for t, (f, _e) in stats.items() if t >= 2]
+        assert later and max(later) > 0.05 * H * W, stats
+        # surfaced into the per-frame metrics records too
+        assert any("fused_px" in m for m in ef.metrics)
+
     def test_map_nonempty_and_bounded(self, pipeline_run):
         ef, cfg = pipeline_run
         n = int(ef.mapper.surfels.num_active())

@@ -133,6 +133,16 @@ def main():
         # fewer steps cut ~9 ms/frame if quality holds
         "steps1x075": ({"solver_stride": 2},
                        {"opt_tile_fraction": 0.75, "local_map_iter": 2}),
+        # round 4: drop one finest-level GN iteration (the full-res level
+        # dominates dense_track's 18.6 ms/frame device cost)
+        "iters332": ({"solver_stride": 2, "pyramid_iters": [3, 3, 2]},
+                     {"opt_tile_fraction": 0.5}),
+        # round 4: optimization render at cap 768 (capsub 192 vs the 134k
+        # map's max sub-column run ~322 -> stratified tail compresses to
+        # ~190) — prices gradient fidelity one rung below optcap1024
+        "optcap768": ({"solver_stride": 2},
+                      {"opt_tile_fraction": 0.5},
+                      {"opt_raster_cap": 768}),
     }
     which = [a for a in (os.environ.get("AB_ARMS", "fast,exact,burst").split(",")) if a]
 

@@ -1,0 +1,93 @@
+"""Decompose the adversarial-synthetic tracking error (VERDICT r3 #3/#7).
+
+Arms on the handheld trajectory at 320x240: clean, depth-noise-only,
+jitter-only, full noise+jitter, and the seed-source ablation on the full
+scenario (motion model vs sparse frontend vs none). Reports ATE per arm ->
+results/adversarial_probe.json.
+
+    python tools/adversarial_probe.py [arm,arm,...]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+NOISE = {"depth_sigma0": 0.001, "depth_sigma2": 0.0015, "depth_quant": 0.002,
+         "edge_dropout_px": 1, "dropout_frac": 0.005, "color_sigma": 0.02}
+
+
+def one(name, dataset_extra, tracking=None, n_frames=40):
+    import numpy as np
+
+    from eggfusion_tpu import config as cfglib
+    from eggfusion_tpu.main import run
+    from eggfusion_tpu.utils import eval as evalu
+
+    cfg = cfglib.default_config(
+        Dataset={
+            "type": "synthetic", "n_frames": n_frames, "preload": False,
+            "device_frames": False,
+            "Calibration": {
+                "fx": 300.0, "fy": 300.0, "cx": 159.5, "cy": 119.5,
+                "width": 320, "height": 240, "depth_scale": 1.0,
+            },
+            **dataset_extra,
+        },
+        Viewer={"max_surfels_num": 120_000},
+        Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
+        Tracking=tracking or {},
+        System={"save_dir": f"results/advprobe_{name}", "final_global_opt": False},
+    )
+    ef = run(cfg, verbose=False)
+    ref = ef._traj_np("ref")[:, :3, 3]
+    est = ef._traj_np("est")[:, :3, 3]
+    ate = evalu.ate_rmse(ref, est)
+    conv = sum(1 for m in ef.metrics if m.get("frame", -1) >= 0)
+    row = {"name": name, "ate_cm": round(float(ate), 3),
+           "surfels": int(np.asarray(ef.mapper.surfels.num_active())),
+           "frames": conv}
+    print(json.dumps(row), flush=True)
+    return row
+
+
+ARMS = {
+    "clean_sway": ({}, None),
+    "clean_handheld": ({"trajectory": "handheld"}, None),
+    "noise_only": ({"noise": NOISE}, None),
+    "noisy_handheld": ({"trajectory": "handheld", "noise": NOISE}, None),
+    "noisy_handheld_sparse": (
+        {"trajectory": "handheld", "noise": NOISE, "texture_detail": 0.25},
+        {"use_sparse": True},
+    ),
+    "noisy_handheld_nomotion": (
+        {"trajectory": "handheld", "noise": NOISE},
+        {"use_motion_model": False},
+    ),
+    "noisy_loop": ({"trajectory": "loop", "noise": NOISE}, None),
+}
+
+
+def main():
+    from eggfusion_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    which = (sys.argv[1].split(",") if len(sys.argv) > 1 else list(ARMS))
+    os.makedirs("results", exist_ok=True)
+    try:
+        with open("results/adversarial_probe.json") as f:
+            rows = json.load(f)
+    except Exception:
+        rows = []
+    for name in which:
+        extra, tracking = ARMS[name]
+        row = one(name, extra, tracking)
+        rows = [r for r in rows if r.get("name") != name] + [row]
+        with open("results/adversarial_probe.json", "w") as f:
+            json.dump(rows, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
