@@ -474,6 +474,7 @@ class Mapping:
         self._ready_buckets: set[int] = set()
         self._precompile_thread = None
         self._shrink_target: int | None = None
+        self._shrink_cooldown = 0
         self.precompile_hooks: list = []  # fn(capacity, thunks) extensions
         # fusion observability (VERDICT r3 #5): per-frame (fused, error)
         # pixel counts, shipped as lag-N async copies like the count/converged
@@ -806,6 +807,8 @@ class Mapping:
         if rung >= self.surfels.capacity:
             self._shrink_target = None
             return
+        if self.time < self._shrink_cooldown:
+            return
         if self._shrink_target != rung:
             self._shrink_target = rung
             self._request_bucket_compile(rung)
@@ -819,6 +822,11 @@ class Mapping:
             self._known_count = wm
             self._known_time = self.time
             self._count_pending.clear()
+        else:
+            # fragmentation holds the watermark above the rung: retrying
+            # every frame would pay this sync read per frame — wait for
+            # the next maintenance cycle to compact first
+            self._shrink_cooldown = self.time + max(self.mcfg.prune_freq, 1)
         self._shrink_target = None
 
     def _invalidate_capacity_state(self) -> None:

@@ -53,19 +53,20 @@ def one(name, dataset_extra, tracking=None, n_frames=40):
     return row
 
 
+_HH = {"trajectory": "handheld", "noise": NOISE, "texture_detail": 0.25}
+
 ARMS = {
     "clean_sway": ({}, None),
     "clean_handheld": ({"trajectory": "handheld"}, None),
     "noise_only": ({"noise": NOISE}, None),
     "noisy_handheld": ({"trajectory": "handheld", "noise": NOISE}, None),
-    "noisy_handheld_sparse": (
-        {"trajectory": "handheld", "noise": NOISE, "texture_detail": 0.25},
-        {"use_sparse": True},
-    ),
-    "noisy_handheld_nomotion": (
-        {"trajectory": "handheld", "noise": NOISE},
-        {"use_motion_model": False},
-    ),
+    # seed-source ablation (VERDICT r3 #7): all three arms share the
+    # detail texture the FAST/BRIEF frontend needs, so the ONLY variable
+    # is the dense solve's seed: damped motion model (default), the native
+    # sparse frontend, or none (identity)
+    "noisy_handheld_motion": (_HH, None),
+    "noisy_handheld_sparse": (_HH, {"use_sparse": True}),
+    "noisy_handheld_nomotion": (_HH, {"use_motion_model": False}),
     "noisy_loop": ({"trajectory": "loop", "noise": NOISE}, None),
 }
 
