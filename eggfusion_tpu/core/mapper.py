@@ -89,6 +89,17 @@ class MapperConfig(NamedTuple):
     # pixel, every step); the YAML/config layer owns the production value
     # (configs/base.yaml sets 0.5).
     opt_tile_fraction: float = 1.0
+    # amortized-schedule step-budget scale: the amortized schedule runs
+    # local_map_iter * |window| / sw_optimize_freq steps per frame (= the
+    # reference's per-period step count); `opt_step_scale` multiplies that
+    # rate. Each opt step carries a capacity-proportional FIXED cost
+    # (projection, slab expand, back-map gather, Adam — ~10 ms at the 155k
+    # rung) on top of the tile-fraction-scaled compositor cost, so fewer,
+    # denser steps beat more, sparser ones at equal pixel budget (measured:
+    # the r4 `steps1x075` A/B arm — 1.0 step/frame x tile 0.75 — matches
+    # the 1.5 x 0.5 default on ATE/PSNR/depth-L1). 1.0 = reference rate;
+    # the YAML layer owns the production value.
+    opt_step_scale: float = 1.0
 
 
 OPT_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opacity")
@@ -358,6 +369,7 @@ class Mapping:
             spawn_cap=min(int(H * W * float(m.sample_ratio) * 2.0) + 256, H * W),
             spawn_cap_init=min(int(H * W * float(m.sample_ratio_init) * 1.5) + 256, H * W),
             opt_tile_fraction=float(m.get("opt_tile_fraction", 1.0)),
+            opt_step_scale=float(m.get("opt_step_scale", 1.0)),
             prune_freq=int(m.get("prune_freq", 30)),
             prune_max_age=int(m.get("prune_max_age", 30)),
             compact_frag=float(m.get("compact_frag", 0.125)),
@@ -782,6 +794,17 @@ class Mapping:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
             self._invalidate_capacity_state()
             self._shrink_target = None
+            # a growth event is strong evidence of a growth TREND (sustained
+            # exploration spawns ~10k/frame at 1280x704 — the one-margin
+            # trigger below gives < 1 frame of warning there): start the
+            # NEXT rung's compile campaign immediately so it gets the whole
+            # current rung's dwell time instead of the last margin of it
+            # (measured on the orbit envelope sweep: rung entries outran the
+            # margin-triggered campaign and paid 140-160 s cold inline
+            # compiles through the tunnel; warm persistent-cache runs
+            # retrace in ~1 s either way)
+            if self.surfels.capacity < self.max_capacity:
+                self._request_bucket_compile(self._bucket(self.surfels.capacity + 1))
         elif self.bucketing:
             # pre-warm the NEXT rung before growth could need it. Trigger at
             # one spawn-margin of headroom BELOW the growth point (growth
@@ -1123,6 +1146,7 @@ class Mapping:
         per_frame = mcfg.local_map_iter / mcfg.sw_optimize_freq
         if self.mesh is None:
             per_frame *= len(window)
+        per_frame *= mcfg.opt_step_scale
         self._opt_acc += per_frame
         n = int(self._opt_acc)
         if n == 0:
