@@ -81,10 +81,16 @@ def main():
     # retrace/compile transients are reported separately as spikes)
     rungs = {}
     spikes = []
+    phase = {m["frame"]: m for m in ef.metrics if m.get("frame", -1) >= 0}
     for i, (ms, cap) in enumerate(zip(frame_ms, caps)):
         rungs.setdefault(cap, []).append(ms)
         if ms > 400:
-            spikes.append({"frame": i, "ms": round(ms), "cap": cap})
+            row = {"frame": i, "ms": round(ms), "cap": cap}
+            p = phase.get(i)
+            if p:  # host-dispatch phase split of the spike frame
+                row.update({k: round(p[k], 1) for k in ("track_ms", "map_ms", "post_ms")
+                            if k in p})
+            spikes.append(row)
     prof = {
         str(cap): {
             "frames": len(v),
