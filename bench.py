@@ -59,8 +59,13 @@ def main() -> None:
         # Replica-parity optimization schedule (the north-star workload):
         # reference configs/replica/base.yaml:50 uses local_map_iter 3 (the
         # global base.yaml's 5 is the TUM setting) -> 1.5 amortized
-        # steps/frame, matching our configs/replica/base.yaml
-        Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3))},
+        # steps/frame, matching our configs/replica/base.yaml.
+        # opt_step_scale / pyramid_iters: the PRODUCTION values from
+        # configs/base.yaml (DEFAULTS stay at reference parity, ADVICE r4 —
+        # the bench measures the shipped config, so it sets them explicitly).
+        Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3)),
+                 "opt_step_scale": 0.667},
+        Tracking={"pyramid_iters": [3, 3, 2]},
         # capacity bucketing ON (the production default): the surfel SoA is
         # sized to the smallest power-of-two bucket that holds the live map
         # (262k here — frame 0's init spawn lands inside the init bucket and

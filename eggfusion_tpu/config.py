@@ -110,10 +110,11 @@ DEFAULTS = {
     "Viewer": {"max_depth": 10, "max_surfels_num": 200000, "image_scale": 0.2},
     "Tracking": {
         "pyramid_level": 3,
-        # [3, 3, 2]: one finest-level GN iteration fewer than the reference's
-        # [3, 3, 3] — measured quality-neutral (r4 `iters332` A/B arm), saves
-        # one full-res normal-equation build per frame (configs/base.yaml note)
-        "pyramid_iters": [3, 3, 2],
+        # DEFAULTS stay at REFERENCE PARITY (ADVICE r4): the TPU-tuned
+        # values ([3, 3, 2] iters, opt_step_scale 0.667 — both validated on
+        # the 1280x704 synthetic A/B only) are owned by configs/base.yaml;
+        # programmatic users of default_config get reference behavior.
+        "pyramid_iters": [3, 3, 3],
         "angle_threshold": 20,
         "distance_threshold": 0.1,
         "use_rgb": True,
@@ -156,9 +157,8 @@ DEFAULTS = {
         "reg_weight_n": 1.0,
         "fusion_dist_thres": 0.03,
         "opt_tile_fraction": 0.5,
-        "opt_step_scale": 0.667,  # amortized opt-step rate multiplier (see
-        #                           configs/base.yaml note; priced by the r4
-        #                           paired `fast` A/B re-run)
+        "opt_step_scale": 1.0,  # reference-parity step rate; the tuned 0.667
+        #                         lives in configs/base.yaml (ADVICE r4)
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
         "background": [1.0, 1.0, 1.0],

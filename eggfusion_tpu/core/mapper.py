@@ -369,12 +369,21 @@ class Mapping:
             spawn_cap=min(int(H * W * float(m.sample_ratio) * 2.0) + 256, H * W),
             spawn_cap_init=min(int(H * W * float(m.sample_ratio_init) * 1.5) + 256, H * W),
             opt_tile_fraction=float(m.get("opt_tile_fraction", 1.0)),
-            opt_step_scale=float(m.get("opt_step_scale", 1.0)),
+            opt_step_scale=float(m.get("opt_step_scale", 1.0)),  # validated below
             prune_freq=int(m.get("prune_freq", 30)),
             prune_max_age=int(m.get("prune_max_age", 30)),
             compact_frag=float(m.get("compact_frag", 0.125)),
             opt_schedule=str(m.get("opt_schedule", "amortized")),
         )
+        # a non-positive rate would silently disable sliding-window
+        # optimization forever (per_frame <= 0 -> the accumulator never
+        # reaches 1) — surface the config error instead (ADVICE r4)
+        if not self.mcfg.opt_step_scale > 0:
+            raise ValueError(
+                f"Mapping.opt_step_scale must be > 0 (got {self.mcfg.opt_step_scale})")
+        if not 0 < self.mcfg.opt_tile_fraction <= 1:
+            raise ValueError(
+                f"Mapping.opt_tile_fraction must be in (0, 1] (got {self.mcfg.opt_tile_fraction})")
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
             max_sh_degree=int(cfg.Surfel.max_sh_degree),
@@ -444,11 +453,20 @@ class Mapping:
         # mean more per-bucket compiles; `_maybe_precompile` warms the next
         # rung in a background thread before growth needs it.
         factor = float(cfg.System.get("bucket_factor", 1.4))
+        # round 5: coarsen the ladder above `bucket_coarse_at` (default
+        # 512k). Above half a million surfels each rung's programs cost
+        # 10-163 s to cold-compile through the tunnel (r4 envelope sweep)
+        # while rung dwell time grows with capacity anyway — fewer, bigger
+        # rungs there trade a little O(capacity) slack for far fewer compile
+        # storms (1M ladder: 15 rungs -> 12; 3M: 23 -> 14).
+        coarse_at = int(cfg.System.get("bucket_coarse_at", 524288))
+        factor_large = float(cfg.System.get("bucket_factor_large", 2.0))
         self._ladder = []
         c = 32768
         while c < self.max_capacity:
             self._ladder.append(c)
-            c = -(-int(c * factor) // 8192) * 8192
+            f = factor if c < coarse_at else factor_large
+            c = -(-int(c * f) // 8192) * 8192
         self._ladder.append(self.max_capacity)
         # spawn headroom budgeted above the freshest consumed count. The r3
         # budget charged a FULL spawn_cap for every not-yet-consumed frame
@@ -485,6 +503,8 @@ class Mapping:
         self._precompiled: set[int] = set()
         self._ready_buckets: set[int] = set()
         self._precompile_thread = None
+        self._compile_queue: list[int] = []  # caps awaiting a campaign slot
+        self.compile_events: list[tuple[int, int]] = []  # (time, cap) finished
         self._shrink_target: int | None = None
         self._shrink_cooldown = 0
         self.precompile_hooks: list = []  # fn(capacity, thunks) extensions
@@ -493,6 +513,24 @@ class Mapping:
         # readbacks; consumed into `fusion_stats` {time: (fused, error)}
         self._stats_pending: deque = deque()
         self.fusion_stats: dict[int, tuple[int, int]] = {}
+        # adaptive model-render cap (round 5, see Renderer.adaptive_model_cap):
+        # start at the safe raster_cap; drop to model_cap_min once the lag-N
+        # occupancy signal stays under the small slab's stratified ceiling
+        # for `_occ_streak_need` frames; escalate back IMMEDIATELY on any
+        # reading near the ceiling. model_cap == 0 means "renderer default".
+        self._adaptive_cap = self.renderer.adaptive_model_cap
+        self.model_cap = self.renderer.raster_cap if self._adaptive_cap else 0
+        self._occ_streak = 0
+        self.cap_switches: list[tuple[int, int]] = []  # (time, new_cap) log
+        if self._adaptive_cap:
+            from eggfusion_tpu.ops import raster_pallas as rp
+
+            capsub = self.renderer.model_cap_min // rp.N_SUB
+            near = capsub * 3 // 4
+            ceiling = near + (capsub - near) * rp.TAIL_STRIDE
+            self._occ_down = int(ceiling * 0.80)
+            self._occ_up = int(ceiling * 0.96)
+            self._occ_streak_need = 20
         self.time = 0
         self.model_map: dict | None = None
         self._rng = jax.random.PRNGKey(int(cfg.System.get("seed", 0)))
@@ -511,10 +549,14 @@ class Mapping:
         # donate_argnums: the surfel SoA is tens of MB at production capacity;
         # donating lets XLA update it in place instead of copying the
         # pass-through fields every call.
-        @functools.partial(jax.jit, static_argnames=("width", "height", "first", "full_post"),
+        want_occ = self.renderer.adaptive_model_cap
+
+        @functools.partial(jax.jit, static_argnames=("width", "height", "first", "full_post",
+                                                     "model_cap"),
                            donate_argnums=(0,))
         def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, root_key,
-                       width: int, height: int, first: bool, full_post: bool):
+                       width: int, height: int, first: bool, full_post: bool,
+                       model_cap: int = 0):
             """Per-frame map update (reference `surfels_preprocess`,
             `mapper.py:242-324`): fuse then spawn.
 
@@ -544,14 +586,18 @@ class Mapping:
                     frame_map["color_map"], depth, frame_map["geo_mask"],
                     mcfg.fusion_dist_thres, scfg,
                 )
-                # fused/error pixel counts packed as ONE (2,) i32 vector so
-                # the host ships a single async copy per frame (fusion
-                # observability — the canary that catches coverage
-                # regressions: fused collapsing to 0 while spawns hit cap
-                # was the round-2 death-spiral signature)
-                stats_vec = jnp.stack([stats.fused_pixels, stats.error_pixels])
                 model = render_at(sf.render_params(s), w2c, intr, width, height,
-                                  geom_only=not full_post, need_grad=False)
+                                  geom_only=not full_post, need_grad=False,
+                                  cap=model_cap or None, with_occupancy=want_occ)
+                # fused/error pixel counts + the true binning occupancy
+                # packed as ONE (3,) i32 vector so the host ships a single
+                # async copy per frame (fusion observability — the canary
+                # that catches coverage regressions: fused collapsing to 0
+                # while spawns hit cap was the round-2 death-spiral
+                # signature; occupancy drives the adaptive model cap)
+                occ = model.pop("max_occupancy", jnp.int32(-1))
+                stats_vec = jnp.stack(
+                    [stats.fused_pixels, stats.error_pixels, occ])
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
                 depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)
                 sample_mask = (opacity_mask | (depth_err > mcfg.add_depth_thres)) & (depth > 0)
@@ -709,6 +755,11 @@ class Mapping:
         compile concurrently. Results land in the persistent compilation
         cache; the later real calls re-trace (cheap) and hit it."""
         W, H = frame.width, frame.height
+        if self._fm_sds is None:  # enable ladder precompile straight from warmup
+            self._fm_sds = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), frame_map
+            )
+            self._wh = (W, H)
         s = self.surfels
         w2c = frame.w2c_matrix()
         intr = frame.intr
@@ -728,10 +779,10 @@ class Mapping:
         thunks = [
             ("map_update", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
-                first=False, full_post=True).compile()),
+                first=False, full_post=True, model_cap=self.model_cap).compile()),
             ("map_update_first", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
-                first=True, full_post=True).compile()),
+                first=True, full_post=True, model_cap=self.model_cap).compile()),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("bin_cache", lambda: self._bin_cache.lower(
@@ -742,6 +793,11 @@ class Mapping:
             ("pose_mag", lambda: _relative_pose_mag.lower(w2c, w2c).compile()),
             ("compact", lambda: _compact_jit.lower(s).compile()),
         ]
+        if self._adaptive_cap:
+            thunks.append(("map_update_lowcap", lambda: self._map_update.lower(
+                s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
+                first=False, full_post=True,
+                model_cap=self.renderer.model_cap_min).compile()))
         if self.renderer.backend == "pallas":
             # the cached-binning opt_step variant (amortized hot path) has a
             # different signature (cache pytree instead of None): lower it
@@ -859,18 +915,31 @@ class Mapping:
         self._opt_moments = None
 
     def _request_bucket_compile(self, cap: int) -> None:
-        """Compile `cap`'s programs in a background thread (round 4): a
+        """Queue `cap`'s programs for background compilation (round 4): a
         mid-run growth/shrink otherwise compiles ~6 programs inline — a
         multi-second stall even with the persistent cache, tens of seconds
-        cold through a tunnel-attached TPU. Lowers from ShapeDtypeStructs
-        (no device buffers); backend compiles release the GIL so frames
-        keep flowing. The later real calls re-trace (cheap) and hit the
-        persistent compilation cache."""
+        cold through a tunnel-attached TPU. One compile campaign runs at a
+        time; further requests queue (ADVICE r4: the old one-shot dropped a
+        request arriving while a campaign was alive — exactly the sustained-
+        growth case the precompile exists for) and `_pump_compiles` starts
+        the next one as soon as the thread frees up."""
         if self._fm_sds is None or cap in self._precompiled:
             return
-        if self._precompile_thread is not None and self._precompile_thread.is_alive():
-            return  # one compile campaign at a time; retried next frame
         self._precompiled.add(cap)
+        self._compile_queue.append(cap)
+        self._pump_compiles()
+
+    def _pump_compiles(self) -> None:
+        """Start the next queued compile campaign if none is running.
+
+        Campaigns lower from ShapeDtypeStructs (no device buffers); backend
+        compiles release the GIL so frames keep flowing. The later real
+        calls re-trace (cheap) and hit the persistent compilation cache."""
+        if not self._compile_queue:
+            return
+        if self._precompile_thread is not None and self._precompile_thread.is_alive():
+            return
+        cap = self._compile_queue.pop(0)
         thunks = self._bucket_thunks(cap)
         for hook in self.precompile_hooks:
             hook(cap, thunks)
@@ -885,6 +954,7 @@ class Mapping:
                     except Exception:  # best-effort: fall back to inline compile
                         pass
             self._ready_buckets.add(cap)
+            self.compile_events.append((self.time, cap))
 
         import threading
 
@@ -893,6 +963,23 @@ class Mapping:
 
     def _bucket_ready(self, cap: int) -> bool:
         return cap in self._ready_buckets or jax.default_backend() == "cpu"
+
+    def queue_ladder_precompile(self) -> int:
+        """Queue background compile campaigns for EVERY ladder rung above the
+        current capacity (VERDICT r4 #2: growth during sustained exploration
+        outran the one-rung-ahead campaign and paid 10-163 s cold inline
+        compiles). Called from `EGGFusion.warmup` so the whole ladder gets
+        the maximum possible lead time; campaigns run one at a time in the
+        background and results land in the persistent compilation cache.
+        Returns the number of rungs queued."""
+        if self._fm_sds is None or not self.bucketing:
+            return 0
+        n = 0
+        for cap in self._ladder:
+            if cap > self.surfels.capacity and cap not in self._precompiled:
+                self._request_bucket_compile(cap)
+                n += 1
+        return n
 
     def surfel_sds(self, capacity: int):
         """ShapeDtypeStruct pytree of the SoA at `capacity` (no buffers)."""
@@ -926,13 +1013,23 @@ class Mapping:
         thunks = [
             ("map_update", lambda: self._map_update.lower(
                 s, fm, w2c, intr, t0, key, width=W, height=H,
-                first=False, full_post=amortized).compile()),
+                first=False, full_post=amortized,
+                model_cap=self.model_cap).compile()),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("compact", lambda: _compact_jit.lower(s).compile()),
             ("prune", lambda: fusion.prune_unstable.lower(
                 s, self.scfg, t0, self.mcfg.prune_max_age).compile()),
         ]
+        if self._adaptive_cap:
+            # the OTHER model-cap variant, so a mid-rung adaptive switch
+            # never compiles inline
+            other = (self.renderer.model_cap_min
+                     if self.model_cap == self.renderer.raster_cap
+                     else self.renderer.raster_cap)
+            thunks.append(("map_update_altcap", lambda: self._map_update.lower(
+                s, fm, w2c, intr, t0, key, width=W, height=H,
+                first=False, full_post=amortized, model_cap=other).compile()))
         if self.mesh is not None:
             # mesh mode uses the window-batched step; its batch shapes
             # depend on the live window, so it compiles at first use
@@ -975,6 +1072,7 @@ class Mapping:
             self._wh = (frame.width, frame.height)
         if self.bucketing:
             self._ensure_capacity(first)
+            self._pump_compiles()  # start any queued campaign (ADVICE r4)
         # amortized schedule: EVERY frame's map update emits the fused model
         # map (1-2 opt steps per frame don't warrant the reference's
         # post-optimization re-render; the next frame tracks a view at most
@@ -983,7 +1081,7 @@ class Mapping:
         self.surfels, model_map, stats_vec = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
-            full_post,
+            full_post, model_cap=self.model_cap,
         )
         if stats_vec is not None:
             try:
@@ -995,6 +1093,8 @@ class Mapping:
             t, ref = self._stats_pending.popleft()
             v = np.asarray(ref)
             self.fusion_stats[t] = (int(v[0]), int(v[1]))
+            if v.shape[0] > 2 and int(v[2]) >= 0:
+                self._observe_occupancy(int(v[2]))
         if self.bucketing:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
             # would delete the very buffer the async copy reads from
@@ -1030,6 +1130,34 @@ class Mapping:
 
         self.time += 1
         return model_map
+
+    def _observe_occupancy(self, occ: int) -> None:
+        """Adaptive model-render cap policy (see Renderer.adaptive_model_cap).
+
+        `occ` is the TRUE (pre-clip) deepest sub-column candidate count of a
+        recent model render (lag-N readback). Down-switch to `model_cap_min`
+        only after `_occ_streak_need` consecutive healthy readings; escalate
+        back to `raster_cap` IMMEDIATELY when occupancy approaches the small
+        slab's stratified ceiling — the formation-phase density overshoot
+        that death-spiraled a fixed cap 1024 (ACCURACY.md r3) trips this
+        before any coverage is lost, since readings keep reporting true
+        occupancy regardless of the currently rendered cap."""
+        if not self._adaptive_cap:
+            return
+        full = self.renderer.raster_cap
+        if occ >= self._occ_up:
+            self._occ_streak = 0
+            if self.model_cap != full:
+                self.model_cap = full
+                self.cap_switches.append((self.time, full))
+        elif occ < self._occ_down:
+            self._occ_streak += 1
+            if (self.model_cap != self.renderer.model_cap_min
+                    and self._occ_streak >= self._occ_streak_need):
+                self.model_cap = self.renderer.model_cap_min
+                self.cap_switches.append((self.time, self.model_cap))
+        else:
+            self._occ_streak = 0
 
     def maintain_map(self, defer: bool = False) -> None:
         """Live map-size management (VERDICT r1 #3): cull error-dominated and

@@ -60,6 +60,25 @@ class Renderer:
         self.opt_raster_cap = min(
             int(cfg.System.get("opt_raster_cap", 0)) or 1024, self.raster_cap
         )
+        # Adaptive MODEL-render cap (round 5). The per-frame fusion/spawn/
+        # tracking render is coverage-critical: a fixed cap 1024 death-spirals
+        # during map FORMATION (overflow holes -> spawn flood, ACCURACY.md),
+        # so 2048 was the blanket default — but on a HEALTHY steady map the
+        # true occupancy fits the 1024 slab with its stratified tail, and the
+        # 2048 render pays double slab-gather + sweep (~6 ms/frame at the
+        # 155k rung). The mapper therefore renders at `model_cap_min` only
+        # while the measured occupancy signal (max sub-column candidate
+        # count, shipped with the lag-N fusion stats) stays safely under the
+        # small slab's stratified ceiling, and escalates back to raster_cap
+        # the moment it rises — the death spiral is impossible by
+        # construction because the signal is the pre-clip TRUE occupancy.
+        self.adaptive_model_cap = (
+            bool(cfg.System.get("adaptive_model_cap", True))
+            and self.backend == "pallas"
+        )
+        self.model_cap_min = min(
+            int(cfg.System.get("model_cap_min", 0)) or 1024, self.raster_cap
+        )
 
     def render(self, frame, params: dict) -> dict:
         """Render `params` from `frame`'s current pose estimate."""
@@ -67,13 +86,16 @@ class Renderer:
 
     def render_at(self, params: dict, w2c, intr, width: int, height: int, cache=None,
                   geom_only: bool = False, need_grad: bool = True,
-                  tile_keep=None, cap: int | None = None) -> dict:
+                  tile_keep=None, cap: int | None = None,
+                  with_occupancy: bool = False) -> dict:
         """`geom_only=True` returns only {depth, opacity} — the fusion/spawn
         render (`mapper.map_update`) reads nothing else, and the Pallas
         backend then skips SH + color/normal compositing. `need_grad=False`
         (forward-only renders) skips the gradient back-map sort. `tile_keep`
         (Pallas only) composites a tile subset — stochastic map optimization.
-        `cap` overrides the entry capacity (must match `cache`'s, if any)."""
+        `cap` overrides the entry capacity (must match `cache`'s, if any).
+        `with_occupancy` (Pallas only) adds "max_occupancy" — the true
+        deepest sub-column candidate count, the adaptive model-cap signal."""
         if self.backend == "pallas":
             from eggfusion_tpu.ops.raster_pallas import render_pallas
 
@@ -81,10 +103,11 @@ class Renderer:
                                  sh_degree=self.active_sh_degree,
                                  cap=cap or self.raster_cap,
                                  binning=cache, geom_only=geom_only,
-                                 need_grad=need_grad, tile_keep=tile_keep)
+                                 need_grad=need_grad, tile_keep=tile_keep,
+                                 with_occupancy=with_occupancy)
         out = render_xla(params, w2c, intr, width, height, sh_degree=self.active_sh_degree)
         if geom_only:
-            return {"depth": out["depth"], "opacity": out["opacity"]}
+            out = {"depth": out["depth"], "opacity": out["opacity"]}
         return out
 
     def precompute_cache(self, params: dict, w2c, intr, width: int, height: int,

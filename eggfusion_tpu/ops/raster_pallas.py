@@ -21,8 +21,9 @@ the classic splatting pipeline, re-shaped for TPU:
   5. Pallas compositing kernel: grid over tiles, each instance front-to-back
      alpha-blends its slab over a TILE_H x TILE_W pixel block (lane-aligned),
      processing entries in 8-row chunks (one VMEM row-block load + static
-     unroll amortizes the dynamic-slice overhead), with early exit when the
-     whole block's transmittance saturates.
+     unroll amortizes the dynamic-slice overhead), sweeping exactly to the
+     deepest sub-column's slot count (transmittance-exit gates measurably
+     never fire on fused SLAM maps — see EXIT_MODE).
   6. custom VJP: the backward kernel first re-sweeps alphas forward, writing
      per-chunk transmittance checkpoints to a VMEM scratch buffer (~1 MB —
      never touches HBM; an earlier revision stored them as a forward output,
@@ -105,7 +106,20 @@ BIN_RADIUS_MAX_X = (KSUB * SUB_W - 1) / 2
 BIN_RADIUS_MAX_Y = (KY * TILE_H - 1) / 2
 CHUNK = 8  # slot-GROUPS per VMEM row-block load (rows = CHUNK*N_SUB = 32;
 #            also the backward checkpoint period, in slots)
-STOP_EPS = 1e-4  # block-level transmittance early-exit (3DGS T_EPS)
+STOP_EPS = float(_os.environ.get("EGG_STOP_EPS", 1e-4))  # transmittance early-exit threshold
+# Sweep-exit mode. "count" (default, round 5): the loop runs exactly to the
+# deepest sub-column's slot count with NO transmittance check. Measured on
+# the production 135k-surfel map (1280x704, v5e): the classic 3DGS
+# max(T) <= eps exit NEVER fires — a fused SLAM map's per-pixel overdraw
+# (~6 layers at alpha ~0.6) never drives a whole 32x32 stripe below eps
+# (identical depth output at eps = 1e-4 AND 0.02) — while evaluating the
+# gate costs 1.4-1.5 ms per render (a lane+sublane max-reduce per chunk).
+# The per-pixel exit the CUDA rasterizer relies on has no lockstep-vector
+# equivalent; dropping the dead gate makes the sweep EXACT (no truncated
+# contributions). "stripe" (per-sub-column max(T), finest vectorizable
+# granularity) and "global" (whole-block max(T)) remain as experiment knobs
+# for atypically opaque scenes.
+EXIT_MODE = _os.environ.get("EGG_EXIT_MODE", "count")
 
 # entry attribute layout (lane index in the (CAP, 16) slab)
 A_U, A_V = 0, 1
@@ -191,6 +205,33 @@ def _lane_counts(counts_ref, t):
     return cnt
 
 
+def _stripe_live(i, T, counts_ref, t, capsub):
+    """Sweep-continuation predicate (see EXIT_MODE).
+
+    "count": run to the deepest sub-column's slot count, no transmittance
+    gate — the measured winner on production maps (the gate never fires but
+    costs 1.4-1.5 ms/render to evaluate; see EXIT_MODE notes). "stripe":
+    additionally stop once every sub-column's own 32 lanes saturate
+    (max T <= STOP_EPS) or exhaust their count — the finest granularity a
+    lockstep vector sweep can exit at. "global": whole-block max(T), the
+    3DGS-style gate."""
+    count = counts_ref[t, 0]
+    for c in range(1, N_SUB):
+        count = jnp.maximum(count, counts_ref[t, c])
+    in_count = i * CHUNK < jnp.minimum(count, capsub)
+    if EXIT_MODE == "count":
+        return in_count
+    if EXIT_MODE == "global":
+        return in_count & (jnp.max(T) > STOP_EPS)
+    live = None
+    for c in range(N_SUB):
+        n_c = jnp.minimum(counts_ref[t, c], capsub)
+        Tc = jnp.max(T[:, c * SUB_W : (c + 1) * SUB_W])
+        lc = (i * CHUNK < n_c) & (Tc > STOP_EPS)
+        live = lc if live is None else live | lc
+    return live
+
+
 def _group_zpx(attrs, rx, ry):
     """Per-pixel ray/surfel-plane depth of one striped slot-group (matches
     raster_xla)."""
@@ -223,7 +264,6 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
     those two channels, and dropping the other six halves the per-entry
     FMA work."""
     capsub = cap // N_SUB
-    n_chunks_max = capsub // CHUNK
     rows = CHUNK * N_SUB  # slab rows per chunk (32)
 
     def kernel(counts_ref, intr_ref, entries_ref, *out_refs):
@@ -236,21 +276,17 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
         S = _stripe_sel()
         cnt_lanes = _lane_counts(counts_ref, t)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        # loop bound = the DEEPEST sub-column's slot count
-        count = counts_ref[t, 0]
-        for c in range(1, N_SUB):
-            count = jnp.maximum(count, counts_ref[t, c])
-        count = jnp.minimum(count, capsub)
-        n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
         # chunked: one (CHUNK*N_SUB, 16) row-block load + static unroll per
         # chunk amortizes the dynamic-slice overhead; each unrolled step
         # composites one slot-GROUP (4 striped entries) in one vector op.
         # Rows past a sub-column's count are masked to alpha 0 via cnt_lanes.
+        # Continuation is per STRIPE (`_stripe_live`): each sub-column stops
+        # counting once its own entries run out or its own lanes saturate.
         def cond(carry):
             i = carry[0]
             T = carry[-1]
-            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
+            return _stripe_live(i, T, counts_ref, t, capsub)
 
         def body(carry):
             if geom:
@@ -305,7 +341,6 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
 
 def _make_bwd_kernel(tx_tiles: int, cap: int):
     capsub = cap // N_SUB
-    n_chunks_max = capsub // CHUNK
     rows = CHUNK * N_SUB
 
     def kernel(
@@ -320,24 +355,19 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         S = _stripe_sel()
         cnt_lanes = _lane_counts(counts_ref, t)
         zero = jnp.zeros((TILE_H, TILE_W), jnp.float32)
-        count = counts_ref[t, 0]
-        for c in range(1, N_SUB):
-            count = jnp.maximum(count, counts_ref[t, c])
-        count = jnp.minimum(count, capsub)
-        n_chunks = jnp.minimum((count + CHUNK - 1) // CHUNK, n_chunks_max)
 
         dent_ref[0, :, :] = jnp.zeros((cap, N_ATTR), jnp.float32)
 
         # ---- phase 1: alpha-only forward re-sweep -> VMEM checkpoints ------
-        # Same loop structure (incl. the early-exit predicate) as the forward
-        # kernel, so `n_done` and every chunk-start T match the forward run
-        # bit-for-bit. ~256 KB of scratch; never touches HBM (an earlier
-        # revision shipped these checkpoints through a forward output, a
-        # ~220 MB HBM round trip per render at 220 tiles — slower than this
-        # recompute, which is alpha-only: no channel accumulation).
+        # Same loop structure (incl. the per-stripe early-exit predicate) as
+        # the forward kernel, so `n_done` and every chunk-start T match the
+        # forward run bit-for-bit. ~256 KB of scratch; never touches HBM (an
+        # earlier revision shipped these checkpoints through a forward
+        # output, a ~220 MB HBM round trip per render at 220 tiles — slower
+        # than this recompute, which is alpha-only: no channel accumulation).
         def cond1(carry):
             i, T = carry
-            return (i < n_chunks) & (jnp.max(T) > STOP_EPS)
+            return _stripe_live(i, T, counts_ref, t, capsub)
 
         def body1(carry):
             i, T = carry
@@ -625,6 +655,9 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
                  autodiff through the gather). `need_back=False`
                  (forward-only renders) skips the inverse sort that builds
                  it (~1/2 of the binning sort cost) and returns None.
+      max_run   () i32 — the TRUE (pre-stratification, pre-clip) deepest
+                 sub-column candidate count: the occupancy signal the
+                 adaptive model-render cap policy reads (`core.mapper`).
     """
     n = mean2d.shape[-1]
     capsub = cap // N_SUB
@@ -684,6 +717,7 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
         jnp.minimum(run, near) + -(-kept_tail // TAIL_STRIDE), capsub
     )
     counts = kept.reshape(n_tiles, N_SUB).astype(jnp.int32)
+    max_run = jnp.max(run).astype(jnp.int32)  # true occupancy (pre-clip)
 
     # slab slot k reads sorted position starts + off(k)
     off_np = np.arange(capsub, dtype=np.int32)
@@ -692,7 +726,7 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
     entry_sid = sorted_sid[jnp.clip(pos.reshape(n_tiles, cap), 0, nk - 1)]
 
     if not need_back:
-        return entry_sid, counts, None
+        return entry_sid, counts, None, max_run
 
     # Per-sorted-position sub-column slot WITHOUT gathering starts per
     # candidate (starts[sub_of_candidate] is an N*K random gather from a tiny
@@ -719,7 +753,7 @@ def _bin_entries(depth, mean2d, radius, valid, n_tiles, tx_tiles, ty_tiles, cap,
     # flat slot to its candidate position (payload ride-along, no extra gather)
     _, back_flat = jax.lax.sort((sorted_j, flat_sorted), num_keys=1)
     back_map = back_flat.reshape(n, K)  # (N, K), original order
-    return entry_sid, counts, back_map
+    return entry_sid, counts, back_map, max_run
 
 
 @jax.custom_vjp
@@ -799,18 +833,19 @@ def compute_binning(params: dict, w2c, intr, width: int, height: int, cap: int =
     proj = rc.project_surfels(
         jax.lax.stop_gradient(params), w2c, intr, width, height, sh_degree=0
     )
-    entry_sid, counts, back_map = _bin_entries(
+    entry_sid, counts, back_map, _ = _bin_entries(
         proj.depth, proj.mean2d, proj.radius, proj.valid,
         tx_tiles * ty_tiles, tx_tiles, ty_tiles, cap,
     )
     return Binning(entry_sid, counts, back_map)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret", "geom_only", "need_grad"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "sh_degree", "cap", "interpret", "geom_only", "need_grad", "with_occupancy"))
 def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
                        sh_degree: int, cap: int, interpret: bool,
                        binning: Binning | None = None, geom_only: bool = False,
-                       need_grad: bool = True, tile_keep: jnp.ndarray | None = None) -> dict:
+                       need_grad: bool = True, tile_keep: jnp.ndarray | None = None,
+                       with_occupancy: bool = False) -> dict:
     assert cap % (N_SUB * CHUNK) == 0, (
         f"cap must be a multiple of {N_SUB * CHUNK} (sub-column slot chunks)"
     )
@@ -823,10 +858,11 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
     proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree,
                               need_color=not geom_only)
 
+    max_run = None
     if binning is not None:
         entry_sid, counts, back_map = binning
     else:
-        entry_sid, counts, back_map = _bin_entries(
+        entry_sid, counts, back_map, max_run = _bin_entries(
             jax.lax.stop_gradient(proj.depth),
             jax.lax.stop_gradient(proj.mean2d),
             jax.lax.stop_gradient(proj.radius),
@@ -866,13 +902,19 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
     # no per-slab validity rewrite (round 4: the A_VAL `.at[].set` was a
     # full (T, CAP, 16) materialization per render)
 
+    if with_occupancy:
+        assert max_run is not None, "with_occupancy requires in-call binning"
+
     if geom_only:
         composite = _make_geom_composite(hp, wp, cap, n_tiles, interpret)
         dep, opa, _T = composite(counts, intr.astype(jnp.float32).reshape(1, 4), entries)
         dep = dep[:height, :width]
         opa = opa[:height, :width]
         wsum = jnp.maximum(opa, 1e-6)
-        return {"depth": (dep / wsum)[..., None], "opacity": opa[..., None]}
+        out = {"depth": (dep / wsum)[..., None], "opacity": opa[..., None]}
+        if with_occupancy:
+            out["max_occupancy"] = max_run
+        return out
 
     composite = _make_composite(hp, wp, cap, n_tiles, interpret)
     rgb, nrm, dep, opa, _T = composite(entries, counts, intr.astype(jnp.float32))
@@ -887,18 +929,22 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
     dep = dep / wsum
     nrm = nrm / wsum[..., None]
 
-    return {
+    out = {
         "color": rgb,
         "normal": nrm,
         "depth": dep[..., None],
         "opacity": opa[..., None],
     }
+    if with_occupancy:
+        out["max_occupancy"] = max_run
+    return out
 
 
 def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int, height: int,
                   sh_degree: int = 3, cap: int = 512, interpret: bool | None = None,
                   binning: Binning | None = None, geom_only: bool = False,
-                  need_grad: bool = True, tile_keep: jnp.ndarray | None = None) -> dict:
+                  need_grad: bool = True, tile_keep: jnp.ndarray | None = None,
+                  with_occupancy: bool = False) -> dict:
     """Render surfels to (H, W, *) color/normal/depth/opacity maps.
 
     Drop-in for `raster_xla.render_xla`; same output dict and normalization.
@@ -909,8 +955,10 @@ def render_pallas(params: dict, w2c: jnp.ndarray, intr: jnp.ndarray, width: int,
     renders: tracking model views, fusion/spawn) skips building the
     gradient back-map — one of the two N*K-key binning sorts. `tile_keep`
     ((n_tiles,) bool) composites only the kept tiles (see `tile_pixel_mask`).
+    `with_occupancy=True` adds "max_occupancy" — the true (pre-clip) deepest
+    sub-column candidate count, the adaptive model-cap signal.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _render_pallas_jit(params, w2c, intr, width, height, sh_degree, cap, interpret,
-                              binning, geom_only, need_grad, tile_keep)
+                              binning, geom_only, need_grad, tile_keep, with_occupancy)

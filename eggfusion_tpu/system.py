@@ -242,6 +242,14 @@ class EGGFusion:
                 except Exception as e:  # warmup is best-effort
                     print(f"warmup compile {futs[fut]} failed: {e}")
         print(f"warmup: {len(thunks)} programs compiled in {_t.perf_counter()-t0:.1f}s")
+        if bool(self.cfg.System.get("precompile_ladder", False)):
+            # queue background campaigns for the WHOLE capacity ladder
+            # (VERDICT r4 #2): long exploratory runs then never cold-compile
+            # a rung inline. Off by default — steady-scene runs never leave
+            # their rung and the campaigns' tunnel RPCs contend with
+            # dispatch; envelope/exploration drivers opt in.
+            n = self.mapper.queue_ladder_precompile()
+            print(f"warmup: queued ladder precompile for {n} rungs (background)")
         self.frame_map = None  # dummy-frame state must not leak into frame 0
 
     # ---- per-frame pipeline -------------------------------------------------
