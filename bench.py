@@ -64,7 +64,7 @@ def main() -> None:
         # configs/base.yaml (DEFAULTS stay at reference parity, ADVICE r4 —
         # the bench measures the shipped config, so it sets them explicitly).
         Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3)),
-                 "opt_step_scale": 0.667},
+                 "opt_step_scale": 0.5},
         Tracking={"pyramid_iters": [3, 3, 2]},
         # capacity bucketing ON (the production default): the surfel SoA is
         # sized to the smallest power-of-two bucket that holds the live map

@@ -384,6 +384,9 @@ class Mapping:
         if not 0 < self.mcfg.opt_tile_fraction <= 1:
             raise ValueError(
                 f"Mapping.opt_tile_fraction must be in (0, 1] (got {self.mcfg.opt_tile_fraction})")
+        # gate fusion/spawn on the dense-tracking convergence flag (VERDICT
+        # r4 #3); off restores the reference's fuse-regardless behavior
+        self.gate_fusion = bool(m.get("gate_fusion_on_tracking", True))
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
             max_sh_degree=int(cfg.Surfel.max_sh_degree),
@@ -491,8 +494,8 @@ class Mapping:
         self.count_lag = max(1, int(cfg.System.get("count_lag", 2)))
         # amortized-schedule state
         self._opt_acc = 0.0  # fractional step accumulator
-        self._opt_kf = None  # window member currently being optimized
-        self._opt_cache = None  # its tile binning (valid across its slot)
+        self._opt_cache = None  # the binning used by the current opt step
+        self._opt_cache_map: dict = {}  # per-member binning, window lifetime
         self._opt_geo = None  # drift-regularizer anchor for the current round
         self._opt_moments = None
         self._opt_stepno = None
@@ -527,6 +530,18 @@ class Mapping:
 
             capsub = self.renderer.model_cap_min // rp.N_SUB
             near = capsub * 3 // 4
+            # `ceiling` is where the small slab starts CLIPPING depth (the
+            # stratified tail represents runs up to near + tail_slots *
+            # TAIL_STRIDE). Thresholds are deliberately CONSERVATIVE
+            # (0.8 / 0.96 of ceiling): an A/B at 0.90/0.98 let the bench map
+            # (occupancy ~390 vs ceiling 448) switch down and the tail
+            # stratification visibly cost coverage — spawns inflated 131k ->
+            # 151k within 40 frames (the visible surface of grazing-angle
+            # sub-columns ranks deep in the candidate run, so the strided
+            # tail drops covering splats, opacity dips below the spawn
+            # threshold, and the map balloons). 0.8*ceiling keeps the switch
+            # strictly in the regime where the near-exact slots hold the
+            # whole visible surface.
             ceiling = near + (capsub - near) * rp.TAIL_STRIDE
             self._occ_down = int(ceiling * 0.80)
             self._occ_up = int(ceiling * 0.96)
@@ -556,7 +571,7 @@ class Mapping:
                            donate_argnums=(0,))
         def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, root_key,
                        width: int, height: int, first: bool, full_post: bool,
-                       model_cap: int = 0):
+                       model_cap: int = 0, conv=None):
             """Per-frame map update (reference `surfels_preprocess`,
             `mapper.py:242-324`): fuse then spawn.
 
@@ -572,18 +587,34 @@ class Mapping:
             just-spawned surfels would render to. On sliding-window
             optimization frames the caller passes `full_post=False` (the
             model map must be re-rendered AFTER the optimization to match
-            the reference, so the spawn render stays geometry-only)."""
+            the reference, so the spawn render stays geometry-only).
+
+            `conv` (device bool scalar) gates fusion AND spawning on the
+            CURRENT frame's dense-tracking convergence (VERDICT r4 #3 /
+            ADVICE r3): the reference keeps fusing at wrong poses for the
+            whole failure streak (its fallback only affects the POSE,
+            `tracker.py:153-170`), so a fast-rotation break corrupts the map
+            before recovery fires. Because the flag is consumed on-device,
+            the gate has zero lag and zero host syncs — a non-converged
+            frame's measurements simply never touch the map (geo gate) and
+            never spawn. The tracking view still renders (the system uses it
+            to re-lock)."""
             from eggfusion_tpu.system import postprocess_model_map
 
             key = jax.random.fold_in(root_key, time)  # per-frame key, in-program
             depth = frame_map["depth_map"]
             stats_vec = None
             model_map = None
+            if conv is None:
+                conv = jnp.bool_(True)
             if not first:
+                # convergence gate: a False flag zeroes the geometry-valid
+                # mask, so association, fusion and error counting all no-op
+                geo_gate = frame_map["geo_mask"] & conv
                 s, stats = fusion.fuse_frame(
                     s, w2c, intr,
                     frame_map["vertex_map_w"], frame_map["normal_map_w"],
-                    frame_map["color_map"], depth, frame_map["geo_mask"],
+                    frame_map["color_map"], depth, geo_gate,
                     mcfg.fusion_dist_thres, scfg,
                 )
                 model = render_at(sf.render_params(s), w2c, intr, width, height,
@@ -600,7 +631,8 @@ class Mapping:
                     [stats.fused_pixels, stats.error_pixels, occ])
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
                 depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)
-                sample_mask = (opacity_mask | (depth_err > mcfg.add_depth_thres)) & (depth > 0)
+                sample_mask = ((opacity_mask | (depth_err > mcfg.add_depth_thres))
+                               & (depth > 0) & conv)
                 ratio = mcfg.sample_ratio
                 cap = mcfg.spawn_cap
                 if full_post:
@@ -776,13 +808,16 @@ class Mapping:
         geo = _geo_snapshot(s)
         lrs = self._lrs_dev(self.sw_lrs)
 
+        conv = jnp.bool_(True)
         thunks = [
             ("map_update", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
-                first=False, full_post=True, model_cap=self.model_cap).compile()),
+                first=False, full_post=True, model_cap=self.model_cap,
+                conv=conv).compile()),
             ("map_update_first", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
-                first=True, full_post=True, model_cap=self.model_cap).compile()),
+                first=True, full_post=True, model_cap=self.model_cap,
+                conv=conv).compile()),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("bin_cache", lambda: self._bin_cache.lower(
@@ -797,7 +832,7 @@ class Mapping:
             thunks.append(("map_update_lowcap", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
                 first=False, full_post=True,
-                model_cap=self.renderer.model_cap_min).compile()))
+                model_cap=self.renderer.model_cap_min, conv=conv).compile()))
         if self.renderer.backend == "pallas":
             # the cached-binning opt_step variant (amortized hot path) has a
             # different signature (cache pytree instead of None): lower it
@@ -911,7 +946,7 @@ class Mapping:
     def _invalidate_capacity_state(self) -> None:
         """A capacity change invalidates amortized-opt per-capacity state."""
         self._opt_cache = None
-        self._opt_kf = None
+        self._opt_cache_map = {}
         self._opt_moments = None
 
     def _request_bucket_compile(self, cap: int) -> None:
@@ -1010,11 +1045,12 @@ class Mapping:
         lrs = {k: sds((), f32) for k in OPT_FIELDS}
         amortized = self.mcfg.opt_schedule == "amortized"
 
+        convb = sds((), jnp.bool_)
         thunks = [
             ("map_update", lambda: self._map_update.lower(
                 s, fm, w2c, intr, t0, key, width=W, height=H,
                 first=False, full_post=amortized,
-                model_cap=self.model_cap).compile()),
+                model_cap=self.model_cap, conv=convb).compile()),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("compact", lambda: _compact_jit.lower(s).compile()),
@@ -1029,7 +1065,8 @@ class Mapping:
                      else self.renderer.raster_cap)
             thunks.append(("map_update_altcap", lambda: self._map_update.lower(
                 s, fm, w2c, intr, t0, key, width=W, height=H,
-                first=False, full_post=amortized, model_cap=other).compile()))
+                first=False, full_post=amortized, model_cap=other,
+                conv=convb).compile()))
         if self.mesh is not None:
             # mesh mode uses the window-batched step; its batch shapes
             # depend on the live window, so it compiles at first use
@@ -1054,14 +1091,20 @@ class Mapping:
                 None, key).compile()))
         return thunks
 
-    def mapping(self, frame, frame_map: dict) -> dict | None:
+    def mapping(self, frame, frame_map: dict, suspect: bool = False) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
         `mapper.py:180-195`).
 
         Returns the postprocess model map when this frame's map update could
         produce it fused (non-optimization frames); None on sliding-window
         optimization frames, where the caller must render it AFTER the
-        optimization (reference ordering, `system.py:47-49`)."""
+        optimization (reference ordering, `system.py:47-49`).
+
+        `suspect=True` (the tracker's lagged failure streak is live) skips
+        keyframe acceptance and window appends: a pose from a failure streak
+        must not become an optimization target (the per-frame fusion/spawn
+        gate is the zero-lag `conv` flag; this host-side gate covers the
+        structures host control flow owns)."""
         first = self.time == 0
         amortized = self.mcfg.opt_schedule == "amortized"
         opt_frame = self.time % self.mcfg.sw_optimize_freq == 0
@@ -1078,10 +1121,16 @@ class Mapping:
         # post-optimization re-render; the next frame tracks a view at most
         # one micro-step stale)
         full_post = True if amortized else not opt_frame
+        # device-side convergence gate (see map_update docstring); GT-pose /
+        # frame-0 / gate-disabled frames pass a constant True scalar so the
+        # program signature stays unique
+        conv = getattr(frame, "tracking_converged", None) if self.gate_fusion else None
+        if conv is None:
+            conv = jnp.bool_(True)
         self.surfels, model_map, stats_vec = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
-            full_post, model_cap=self.model_cap,
+            full_post, model_cap=self.model_cap, conv=conv,
         )
         if stats_vec is not None:
             try:
@@ -1110,11 +1159,13 @@ class Mapping:
         if self.mcfg.prune_freq > 0 and self.time > 0 and self.time % self.mcfg.prune_freq == 0:
             self.maintain_map(defer=True)
 
-        if self.time % self.mcfg.sw_add_freq == 0:
+        if self.time % self.mcfg.sw_add_freq == 0 and not suspect:
             self.keyframe_manager.sliding_window.append(
                 KeyFrame(frame, frame_map, self.time, -1, self.keyframe_manager.storage)
             )
-        if opt_frame:
+        if suspect:
+            pass  # no keyframe decisions from a failure-streak pose
+        elif opt_frame:
             self.keyframe_manager.check_keyframe(frame, frame_map, self.time)
         else:
             # async pose-delta observation feeding the NEXT opt frame's
@@ -1308,9 +1359,23 @@ class Mapping:
         kf = window[(self.time // rot) % len(window)]
         w2c = jnp.asarray(kf.w2c)
         intr = jnp.asarray(kf.intr)
-        if kf is not self._opt_kf or self._opt_cache is None:
-            self._opt_kf = kf
-            self._opt_cache = self._bin_cache(self.surfels, w2c, intr, kf.width, kf.height)
+        # per-member binning cache with WINDOW lifetime (round 5): a member's
+        # camera is frozen, so its tile binning stays valid for its whole
+        # stay in the window (<= window_size * sw_add_freq frames) — only the
+        # map drifts under it (fusion moves surfels ~mm; surfels spawned
+        # since miss their gradient until the member's next re-bin, exactly
+        # the staleness the per-slot cache already accepted). One binning per
+        # member per window stay instead of one per rotation slot revisit
+        # cuts the bin_cache dispatch rate ~2x; priced by the `kfbin`
+        # A/B arm (quality-neutral: ATE/PSNR/depth-L1 at parity).
+        live_uids = {k.uid for k in window}
+        for uid in [u for u in self._opt_cache_map if u not in live_uids]:
+            del self._opt_cache_map[uid]
+        cache = self._opt_cache_map.get(kf.uid)
+        if cache is None:
+            cache = self._bin_cache(self.surfels, w2c, intr, kf.width, kf.height)
+            self._opt_cache_map[kf.uid] = cache
+        self._opt_cache = cache
         kfm = kf.device_maps()
         if self.debug_nan:
             _check_nan_maps(kfm, kf.uid)

@@ -323,7 +323,8 @@ class EGGFusion:
         self.tracker.tracking(frame, self.model_map)
         t1 = _time.perf_counter()
         self.preprocess(frame)
-        model_map = self.mapper.mapping(frame, self.frame_map)
+        model_map = self.mapper.mapping(
+            frame, self.frame_map, suspect=self.tracker._fail_streak > 0)
         t2 = _time.perf_counter()
         if model_map is not None:
             # fused path: the map update already rendered + postprocessed
