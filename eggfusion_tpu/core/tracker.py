@@ -46,6 +46,27 @@ class TrackerConfig(NamedTuple):
     # behavior), 2 = quarter of the constraints (statistically equivalent
     # GN optimum, ~4x fewer resampling gathers — the TPU bottleneck)
     solver_stride: int = 1
+    # stride override for the FINEST level only (0 = use solver_stride):
+    # level 0 holds ~80% of the constraint count, so its stride is where
+    # the gather cost lives; coarse levels keep the denser grid their
+    # convergence basin needs
+    solver_stride_fine: int = 0
+    # OPTIONAL commit of well-ALIGNED-but-not-SETTLED solves — default OFF
+    # (reference-exact contract), and the measurement trail matters: the
+    # reference's commit rule (`tracker.py:241-250`) uses |b|/sqrt(n) — the
+    # GRADIENT norm, near zero at ANY stationary point — plus a 1 mm step
+    # gate that rejects every solve under fast inter-frame motion (the
+    # orbit envelope moves ~45 mm/frame: 6% commit rate, free-run). Round 5
+    # added the TRUE weighted point-to-plane RMS (meters) as a commit
+    # signal... and measured it UNSAFE on degenerate geometry: on the
+    # planar room scene the solve SLIDES along the walls (point-to-plane
+    # has a translation null-space on planes) with RMS < 0.5 mm while the
+    # pose is meters wrong — rms-commit confidently accepted a 2.5 m error
+    # at frame 2. A safe fast-motion commit needs a Hessian-conditioning
+    # gate on top (the slide direction has near-zero curvature); until
+    # that exists, >0 values are for well-textured non-planar rigs only.
+    commit_min_count: int = 0
+    commit_rms_m: float = 0.005
     # stop a level's GN iterations once the pose is numerically settled:
     # converged in the commit sense AND the last step moved the pose by less
     # than early_exit_factor * dx_threshold. The reference always runs all
@@ -58,12 +79,13 @@ class TrackerConfig(NamedTuple):
     early_exit_factor: float = 0.05
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def dense_track(
     pyr_model: Pyramid,
     pyr_frame: Pyramid,
     init_delta: jnp.ndarray,
     cfg: TrackerConfig,
+    mesh=None,
 ):
     """Run the full coarse-to-fine GN optimization.
 
@@ -72,15 +94,34 @@ def dense_track(
       pyr_frame: pyramid of the current camera frame.
       init_delta: (4, 4) initial delta transform (sparse seed or identity).
       cfg: static tracker configuration.
+      mesh: optional `jax.sharding.Mesh` — PIXEL-sharded tracking (round 5,
+        VERDICT r4 #4 "shard more of the frame"): the model-side constraint
+        rows are sharded over the mesh axis while the frame resampling pack
+        stays replicated, so each device builds the normal equations for its
+        own row shard (warp + gathers + MXU reduce) and GSPMD all-reduces
+        the 6x6/6 partials over ICI — a 27-float collective per GN
+        iteration. The pose carry is replicated; trajectories are identical
+        to single-chip up to reduction order.
 
     Returns:
-      (delta (4, 4), converged (bool), residual (f32), valid_count (f32)).
-      Level order matches the reference (`tracker.py:156-158`): coarse
-      (level = pyramid_level-1) to fine (level = 0).
+      (delta (4, 4), converged (bool), icp_rms_m (f32), icp_count (f32)).
+      `converged` keeps the reference-parity criterion (gradient norm +
+      step size, `tracker.py:241-250`); icp_rms_m is the TRUE weighted
+      point-to-plane RMS of the final iteration (meters) — see
+      `TrackerConfig.commit_min_count`. Level order matches the reference
+      (`tracker.py:156-158`): coarse (level = pyramid_level-1) to fine
+      (level = 0).
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard_rows = lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(mesh.axis_names[0], *([None] * (x.ndim - 1)))))
+        replicate = lambda x: jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*([None] * x.ndim))))
     delta = init_delta
     converged = jnp.asarray(False)
-    last_res = jnp.asarray(jnp.inf, jnp.float32)
+    last_rms = jnp.asarray(jnp.inf, jnp.float32)
     last_n = jnp.asarray(0.0, jnp.float32)
 
     for l in range(cfg.pyramid_level):
@@ -88,12 +129,25 @@ def dense_track(
         model_lvl = pyr_model[level]
         frame_lvl = pyr_frame[level]
         n_iters = cfg.pyramid_iters[l]
+        stride = (cfg.solver_stride_fine
+                  if level == 0 and cfg.solver_stride_fine > 0
+                  else cfg.solver_stride)
         # paired resampling pack, built once per level (loop-invariant)
         pack = gn.sampling_pack(frame_lvl)
+        if mesh is not None:
+            # model rows sharded (constraint parallelism), gather source
+            # replicated: every device resamples any frame pixel locally.
+            # `intr` is a (4,) vector — replicated, not row-sharded.
+            model_lvl = model_lvl._replace(
+                intr=replicate(model_lvl.intr),
+                **{f: shard_rows(getattr(model_lvl, f))
+                   for f in ("intensity", "disp", "grad", "mask", "vertex", "normal")})
+            pack = replicate(pack)
 
-        def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl, pack=pack):
+        def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl, pack=pack,
+                 stride=stride):
             i, T, conv, _, _, _ = carry
-            A, b, n = gn.build_normal_equations(
+            A, b, n, r2_icp, n_icp = gn.build_normal_equations(
                 model_lvl,
                 frame_lvl,
                 T,
@@ -101,20 +155,21 @@ def dense_track(
                 cfg.distance_threshold,
                 cfg.use_rgb,
                 cfg.rgb_weight,
-                stride=cfg.solver_stride,
+                stride=stride,
                 pack=pack,
             )
             dx = gn.solve_gn(A, b, cfg.lm_damping)
             T_new = lie.update_transform(T, dx)
             residual_est = jnp.linalg.norm(b) / jnp.sqrt(jnp.maximum(1.0, n))
             dx_norm = jnp.linalg.norm(dx)
+            rms = jnp.sqrt(r2_icp / jnp.maximum(n_icp, 1.0))
             # n > 0: an empty solve (b = 0, dx = 0) must NOT count as
             # converged — the reference gets this via 0/0 = NaN residual
             # (`tracker.py:241-250`); without the gate a fully-gated frame
             # (e.g. depth dropout) would be committed as a perfect track
             conv_i = (residual_est < cfg.residual_thres) & (dx_norm < cfg.dx_threshold) & (n > 0)
             settled = conv_i & (dx_norm < cfg.early_exit_factor * cfg.dx_threshold)
-            return i + 1, T_new, conv | conv_i, settled, residual_est, n
+            return i + 1, T_new, conv | conv_i, settled, rms, n_icp
 
         def cond(carry, n_iters=n_iters):
             i, _, _, stop, _, _ = carry
@@ -123,12 +178,12 @@ def dense_track(
                 keep = keep & ~stop
             return keep
 
-        _, delta, converged, _, last_res, last_n = jax.lax.while_loop(
+        _, delta, converged, _, last_rms, last_n = jax.lax.while_loop(
             cond, body,
-            (jnp.int32(0), delta, converged, jnp.asarray(False), last_res, last_n),
+            (jnp.int32(0), delta, converged, jnp.asarray(False), last_rms, last_n),
         )
 
-    return delta, converged, last_res, last_n
+    return delta, converged, last_rms, last_n
 
 
 @jax.jit
@@ -147,13 +202,14 @@ def _motion_delta(prev_w2c, prev_prev_w2c, damping):
     return lie.se3_to_SE3(damping * xi)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "mesh"))
 def dense_track_pose(
     pyr_model: Pyramid,
     pyr_frame: Pyramid,
     seed_delta: jnp.ndarray,
     prev_transform: jnp.ndarray,
     cfg: TrackerConfig,
+    mesh=None,
 ):
     """`dense_track` + on-device commit: returns the new w2c directly.
 
@@ -161,9 +217,13 @@ def dense_track_pose(
     on device removes the per-frame host readback of the converged flag (a
     full dispatch round-trip per frame on remote-attached TPUs).
     """
-    delta, converged, res, n = dense_track(pyr_model, pyr_frame, seed_delta, cfg)
-    curr = jnp.where(converged, delta @ prev_transform, seed_delta @ prev_transform)
-    return curr, converged, res, n
+    delta, converged, rms, n_icp = dense_track(pyr_model, pyr_frame, seed_delta, cfg, mesh)
+    committed = converged
+    if cfg.commit_min_count > 0:
+        committed = committed | (
+            (rms < cfg.commit_rms_m) & (n_icp >= cfg.commit_min_count))
+    curr = jnp.where(committed, delta @ prev_transform, seed_delta @ prev_transform)
+    return curr, committed, rms, n_icp
 
 
 class Tracker:
@@ -180,6 +240,14 @@ class Tracker:
 
     def __init__(self, cfg):
         t = cfg.Tracking
+        # pixel-sharded tracking under a mesh (see `dense_track`): the same
+        # System.mesh_devices knob that shards map optimization
+        self.mesh = None
+        mesh_devices = int(cfg.System.get("mesh_devices", 0))
+        if mesh_devices >= 1:
+            from eggfusion_tpu.parallel import mesh as pmesh
+
+            self.mesh = pmesh.make_mesh(mesh_devices)
         self.config = TrackerConfig(
             pyramid_level=int(t.pyramid_level),
             pyramid_iters=tuple(int(i) for i in t.pyramid_iters),
@@ -190,6 +258,9 @@ class Tracker:
             use_rgb=bool(t.use_rgb),
             rgb_weight=float(t.rgb_weight),
             solver_stride=int(t.get("solver_stride", 2)),
+            solver_stride_fine=int(t.get("solver_stride_fine", 0)),
+            commit_min_count=int(t.get("commit_min_count", 0)),
+            commit_rms_m=float(t.get("commit_rms_m", 0.005)),
             early_exit=bool(t.get("early_exit", False)),
             early_exit_factor=float(t.get("early_exit_factor", 0.05)),
         )
@@ -203,6 +274,16 @@ class Tracker:
         # (renders the model there and clears the motion model) instead of
         # free-running on the drifted frame-to-frame estimate. 0 disables.
         self.recover_after = int(t.get("recover_after", 3))
+        # fusion-gate looseness (round 5). 0 (default) = STRICT: fuse only
+        # converged frames. >0 = loose: fuse when residual <
+        # factor * residual_thres. Measured on the adversarial probe, the
+        # strict gate wins 3 of 4 arms decisively (noise-only 3.1 vs 6.0 cm,
+        # clean fast-rotation 2.4 vs 9.9, loop 8.6 vs 11.2) and loses only
+        # the noisy-handheld arm by 1.5 cm (map thins 10.4k -> 8.2k
+        # surfels); a loose factor of 8 measured indistinguishable from no
+        # gate at all. Strict ships; the knob stays for sensor regimes
+        # where fusing marginal frames matters more than gating bad ones.
+        self.gate_residual_factor = float(t.get("gate_residual_factor", 0.0))
         self._fail_streak = 0
         # pipelined converged-flag readbacks: each frame's flag is an async
         # device->host copy consumed only once it is `readback_lag` frames
@@ -216,6 +297,8 @@ class Tracker:
 
         self._conv_pending: deque = deque()  # (converged_ref, pose) oldest first
         self.last_good_w2c = None  # last pose whose dense solve converged
+        self.sparse_seeds = 0  # frames whose delta seed came from the frontend
+        self.seed_override = None  # one-shot delta seed (recovery re-lock)
         self.initialized = False
         self._prev_w2c = None
         self._prev_prev_w2c = None
@@ -227,6 +310,11 @@ class Tracker:
 
     def _seed_delta(self, frame, prev_transform):
         """Initial delta: sparse frontend if enabled, else constant-velocity."""
+        if self.seed_override is not None:
+            # one-shot re-lock seed from the recovery rotation sweep; the
+            # delta is already relative to the re-anchored model transform
+            seed, self.seed_override = self.seed_override, None
+            return jnp.asarray(seed, jnp.float32)
         if self._fail_streak > 0 and self._sparse is None:
             # mid-failure-streak: the previous frame's velocity is garbage —
             # freeze the pose (identity seed) instead of extrapolating the
@@ -238,6 +326,7 @@ class Tracker:
             seed = self._sparse.track(frame)
             if seed is not None:
                 frame.sparse_tracking = True
+                self.sparse_seeds += 1
                 return jnp.asarray(seed, jnp.float32) @ lie.invert_se3(prev_transform)
         if self.use_motion_model and self._prev_prev_w2c is not None:
             # delta that maps prev pose to an extrapolated pose:
@@ -288,10 +377,17 @@ class Tracker:
         seed_delta = self._seed_delta(frame, prev_transform)
 
         pyr_model = model_map["pyramid"]
-        curr, converged, _, _ = dense_track_pose(
-            pyr_model, frame.pyramid, seed_delta, prev_transform, self.config
+        curr, converged, rms, n_icp = dense_track_pose(
+            pyr_model, frame.pyramid, seed_delta, prev_transform, self.config,
+            self.mesh,
         )
         frame.tracking_converged = converged  # device scalar; sync-free
+        if self.gate_residual_factor > 0:
+            frame.tracking_map_ok = converged | (
+                (rms < self.gate_residual_factor * self.config.commit_rms_m)
+                & (n_icp > 0))
+        else:
+            frame.tracking_map_ok = converged
         if self.recover_after > 0:
             # start an async copy; folded into the fail streak once it is
             # `readback_lag` frames old, so the steady-state path never

@@ -140,7 +140,28 @@ class RGBDDataset:
         if self.xymap is not None:
             color = remap_image(color, self.xymap)
         depth = self._read_image(self.depth_paths[idx])
+        if self.xymap is not None:
+            # REFERENCE BUG (documented, not replicated): the reference
+            # undistorts COLOR only (`/root/reference/src/utils/dataset.py:
+            # 102`) and feeds the raw DISTORTED depth through the whole
+            # pipeline — at TUM fr1 distortion (k1 ~ 0.26) that is a real
+            # color/geometry mis-registration. Depth is remapped here with
+            # NEAREST sampling (bilinear would invent depths across
+            # discontinuities); out-of-source pixels become 0 = invalid.
+            # Caught by the composed TUM fixture e2e (round 5): depth MAE
+            # vs ground truth was 1.2 m before this fix.
+            depth = self._remap_nearest(depth, self.xymap)
         return self.ts[idx], color, depth, self.mask[..., None], self.poses[idx]
+
+    @staticmethod
+    def _remap_nearest(img: np.ndarray, xymap) -> np.ndarray:
+        mapx, mapy = xymap
+        H, W = img.shape[:2]
+        xi = np.rint(mapx).astype(np.int64)
+        yi = np.rint(mapy).astype(np.int64)
+        ok = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        out = img[np.clip(yi, 0, H - 1), np.clip(xi, 0, W - 1)]
+        return np.where(ok, out, 0).astype(img.dtype)
 
     def __len__(self) -> int:
         return self.n_imgs

@@ -104,8 +104,10 @@ KY = 2  # candidate window, y, in tile rows (2*TILE_H px). Binning sort cost
 # window just truncates to it (same policy both axes)
 BIN_RADIUS_MAX_X = (KSUB * SUB_W - 1) / 2
 BIN_RADIUS_MAX_Y = (KY * TILE_H - 1) / 2
-CHUNK = 8  # slot-GROUPS per VMEM row-block load (rows = CHUNK*N_SUB = 32;
-#            also the backward checkpoint period, in slots)
+CHUNK = int(_os.environ.get("EGG_RASTER_CHUNK", 16))  # slot-GROUPS per VMEM row-block
+#            load (rows = CHUNK*N_SUB; also the backward checkpoint period,
+#            in slots). 16 measured ~1 ms faster than 8 on the production
+#            full-coverage fwd render (fewer loop iterations, same bwd).
 STOP_EPS = float(_os.environ.get("EGG_STOP_EPS", 1e-4))  # transmittance early-exit threshold
 # Sweep-exit mode. "count" (default, round 5): the loop runs exactly to the
 # deepest sub-column's slot count with NO transmittance check. Measured on

@@ -181,7 +181,8 @@ def build_normal_equations(
     stride: int = 1,
     pack: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One GN build at one pyramid level: A (6, 6), b (6,), valid count.
+    """One GN build at one pyramid level: (A (6, 6), b (6,), valid count,
+    icp residual-square sum, icp count).
 
     Mirrors `Tracker.tracking_optimization` (`tracker.py:194-238`) with the
     reference's exact gates:
@@ -237,6 +238,14 @@ def build_normal_equations(
     r_icp = jnp.nan_to_num(jnp.sum(ncurr * delta_v, axis=-1))
     J_icp = jnp.nan_to_num(jnp.concatenate([ncurr, jnp.cross(vprev, ncurr)], axis=-1))
     A, b, n = _weighted_normal_eq(J_icp, r_icp, w_icp)
+    # TRUE geometric residual (round 5): the reference's convergence
+    # quantity |b|/sqrt(n) is the GRADIENT norm — near zero at ANY
+    # stationary point, including a diverged solve settled in a garbage
+    # minimum — so it cannot certify alignment by itself. The weighted
+    # point-to-plane RMS (meters) can: it is large exactly when the pose is
+    # wrong. Returned alongside the reference-parity quantities.
+    r2_icp = jnp.sum(w_icp * r_icp * r_icp)
+    n_icp = n
 
     # ---- photometric --------------------------------------------------------
     if use_rgb:
@@ -254,4 +263,4 @@ def build_normal_equations(
         A = A + rgb_weight * A_rgb
         b = b + rgb_weight * b_rgb
         n = n + n_rgb
-    return A, b, n
+    return A, b, n, r2_icp, n_icp

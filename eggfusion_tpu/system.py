@@ -143,11 +143,32 @@ class EGGFusion:
         self.traj = {"ts": [], "ref": [], "est": []}
         self.metrics = []  # per-frame observability records
 
+        # held-out render evaluation (VERDICT r4 #5): keep every
+        # `heldout_stride`-th frame's color/depth DEVICE refs + tracked pose;
+        # `evaluate_render` scores renders at those poses too. Frames whose
+        # uid later becomes a keyframe are excluded at eval time, so the
+        # held_out section is a true non-training-view metric (the keyframe
+        # section scores views the optimizer itself fit). Device-resident on
+        # purpose: host copies of full-res frames through a tunnel-attached
+        # TPU cost seconds each. 0 disables.
+        self.heldout_stride = int(s.get("heldout_stride", 25))
+        self.heldout_max = int(s.get("heldout_max", 8))
+        self._heldout: list = []  # (uid, w2c ref, color ref, depth ref)
+
         # descriptor-indexed relocalization (reference: ORB-SLAM2 keyframe
         # database + Relocalization, `tracker.py:85-122`); lazy so the native
         # build is only required if recovery ever fires
         self._reloc = None
         self._reloc_enabled = bool(cfg.Tracking.get("reloc_descriptors", True))
+        # rotation-hypothesis re-lock (round 5, VERDICT r4 #3): descriptor
+        # reloc needs texture; the clean fast-rotation failure happens in
+        # low-texture scenes where it cannot fire. On recovery, sweep a fan
+        # of pure-rotation seed hypotheses with COARSE-level-only dense
+        # solves against the re-anchored model view and seed the next full
+        # solve from the best converged one — rotation is exactly the axis
+        # the dense basin loses first (2 deg/frame x readback lag ~ 10-20
+        # deg offset, far outside the fine-level basin, well inside +-24).
+        self._rot_sweep = bool(cfg.Tracking.get("recovery_rotation_sweep", True))
 
         # render + postprocess fused into ONE program: skips a dispatch and
         # the HBM round-trip of the four intermediate full-res render maps
@@ -200,7 +221,7 @@ class EGGFusion:
         program (~130 s) instead of the serial sum (~6-8 minutes through
         the tunnel). Results populate the persistent compilation cache.
         """
-        from eggfusion_tpu.core.tracker import dense_track_pose
+        from eggfusion_tpu.core.tracker import dense_track, dense_track_pose
 
         if full is None:
             full = jax.default_backend() not in ("cpu",)
@@ -217,8 +238,18 @@ class EGGFusion:
         )
         f.update_transform_gt()
         eye = jnp.eye(4)
-        curr, _, _, _ = dense_track_pose(f.pyramid, f.pyramid, eye, eye, self.tracker.config)
+        curr, _, _, _ = dense_track_pose(f.pyramid, f.pyramid, eye, eye, self.tracker.config,
+                                        self.tracker.mesh)
         jax.block_until_ready(curr)
+        if self._rot_sweep:
+            # the recovery rotation sweep's coarse-only program — compile it
+            # now, not mid-recovery
+            L = self.tracker.config.pyramid_level
+            coarse_cfg = self.tracker.config._replace(
+                pyramid_level=1, pyramid_iters=(6,), solver_stride_fine=0)
+            jax.block_until_ready(dense_track(
+                (f.pyramid[L - 1],), (f.pyramid[L - 1],), eye, coarse_cfg,
+                self.tracker.mesh)[0])
         if not full:
             return
 
@@ -268,6 +299,56 @@ class EGGFusion:
         )
         return {"transform": w2c, "pyramid": pyramid}
 
+    def _rotation_hypothesis_seed(self, frame) -> int:
+        """Coarse-level rotational seed sweep (see `_rot_sweep`): solve the
+        coarsest pyramid level from each hypothesis delta; install the best
+        converged delta as the tracker's one-shot seed override. Returns the
+        number of converged hypotheses. Host syncs are fine here — recovery
+        is rare and the sweep replaces frames of free-running."""
+        from eggfusion_tpu.core.tracker import dense_track
+
+        if self.model_map is None or "pyramid" not in self.model_map:
+            return 0
+        L = self.tracker.config.pyramid_level
+        pm = (self.model_map["pyramid"][L - 1],)
+        pf = (frame.pyramid[L - 1],)
+        coarse_cfg = self.tracker.config._replace(
+            pyramid_level=1, pyramid_iters=(6,), solver_stride_fine=0)
+
+        def rot(axis, deg):
+            a = np.deg2rad(deg)
+            c, s = np.cos(a), np.sin(a)
+            R = np.eye(4, dtype=np.float32)
+            if axis == "y":
+                R[:3, :3] = [[c, 0, s], [0, 1, 0], [-s, 0, c]]
+            else:
+                R[:3, :3] = [[1, 0, 0], [0, c, -s], [0, s, c]]
+            return R
+
+        hyps = [("y", d) for d in (0.0, 8.0, -8.0, 16.0, -16.0, 24.0, -24.0)]
+        hyps += [("x", d) for d in (8.0, -8.0)]
+        best = None
+        n_conv = 0
+        cfg = self.tracker.config
+        for axis, deg in hyps:
+            seed = jnp.asarray(rot(axis, deg))
+            delta, conv, rms, n_icp = dense_track(pm, pf, seed, coarse_cfg,
+                                                  self.tracker.mesh)
+            # commit rule of dense_track_pose: strict convergence OR a true
+            # point-to-plane RMS under commit_rms_m with enough constraints
+            ok = bool(np.asarray(conv)) or (
+                cfg.commit_min_count > 0
+                and float(np.asarray(rms)) < cfg.commit_rms_m
+                and float(np.asarray(n_icp)) >= cfg.commit_min_count)
+            if ok:
+                n_conv += 1
+                score = float(np.asarray(rms))
+                if best is None or score < best[0]:
+                    best = (score, delta)
+        if best is not None:
+            self.tracker.seed_override = best[1]
+        return n_conv
+
     def _recover_tracking(self, frame=None) -> bool:
         """Re-anchor tracking after a failure streak (VERDICT r1 #7; extends
         the reference's per-frame fallback contract, `tracker.py:153-170`,
@@ -313,6 +394,8 @@ class EGGFusion:
         rec = {"frame": -1, "recovered_to_kf": anchor_id}
         if reloc_inliers:
             rec["reloc_inliers"] = reloc_inliers
+        if frame is not None and self._rot_sweep:
+            rec["rot_sweep_converged"] = self._rotation_hypothesis_seed(frame)
         self.metrics.append(rec)
         return True
 
@@ -335,6 +418,12 @@ class EGGFusion:
             self.postprocess(frame)
         t3 = _time.perf_counter()
         self.append_trajectory(frame)
+        if self.heldout_stride > 0 and frame.uid % self.heldout_stride == self.heldout_stride // 2:
+            # offset by stride//2 so held-out picks interleave keyframe-check
+            # frames instead of coinciding with them
+            self._heldout.append((frame.uid, frame.w2c_matrix(), frame.color, frame.depth))
+            if len(self._heldout) > self.heldout_max:
+                self._heldout.pop(0)
         # surfel count stays a device scalar — no per-frame host readback
         # (each sync is a full dispatch round-trip on remote-attached TPUs)
         rec = {
@@ -351,6 +440,14 @@ class EGGFusion:
             t_last = next(reversed(fs))
             rec["stats_frame"] = t_last
             rec["fused_px"], rec["error_px"] = fs[t_last]
+        # map-opt observability (VERDICT r4 #8): exact cumulative step count
+        # + the freshest lag-N loss readback
+        rec["opt_steps"] = self.mapper.opt_steps_total
+        ol = self.mapper.opt_losses
+        if ol:
+            t_loss = next(reversed(ol))
+            rec["opt_loss_frame"] = t_loss
+            rec["opt_loss"] = ol[t_loss]
         self.metrics.append(rec)
 
     def preprocess(self, frame: Frame) -> None:
@@ -574,9 +671,93 @@ class EGGFusion:
                                      for k, v in rep.items()})
         return rep
 
+    @staticmethod
+    @jax.jit
+    def _device_render_metrics(ref_color, ref_depth, est_color, est_depth):
+        """PSNR + masked depth-L1 computed ON DEVICE (held-out eval keeps
+        frames device-resident; pulling full-res images to the host costs
+        seconds each on a tunnel-attached TPU). Returns a (2,) vector."""
+        mse = jnp.mean((ref_color - est_color) ** 2)
+        psnr = -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+        m = ref_depth > 0
+        dl1 = jnp.sum(jnp.where(m, jnp.abs(ref_depth - est_depth), 0.0)) / jnp.maximum(
+            jnp.sum(m.astype(jnp.float32)), 1.0)
+        return jnp.stack([psnr, dl1])
+
+    def evaluate_render_heldout(self) -> dict:
+        """Held-out render metrics (VERDICT r4 #5): renders scored at stored
+        NON-keyframe tracked poses — views the map optimizer never fit.
+        PSNR/depth-L1 only (device-computed; SSIM needs host images)."""
+        kf_uids = set(self.mapper.keyframe_manager.keyframes.keys())
+        intr = _cal_intrinsics(self.cfg)
+        ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
+        rows = []
+        for uid, w2c, color, depth in self._heldout:
+            if uid in kf_uids:
+                continue
+            out = self.mapper._render_model(
+                self.mapper.surfels, w2c, ia, intr.width, intr.height)
+            v = np.asarray(self._device_render_metrics(
+                color, depth, out["color"], out["depth"]))
+            rows.append({"frame": uid, "psnr": float(v[0]), "depth_l1": float(v[1])})
+        if not rows:
+            return {}
+        return {
+            "per_frame": rows,
+            "mean": {
+                "psnr": float(np.mean([r["psnr"] for r in rows])),
+                "depth_l1": float(np.mean([r["depth_l1"] for r in rows])),
+            },
+            "n_frames": len(rows),
+        }
+
+    def evaluate_render_dataset(self, dataset, train_pivot: np.ndarray | None = None) -> dict:
+        """Score renders against an arbitrary dataset split at its GT poses
+        — the ScanNet++ TEST-split evaluation the reference ships
+        `train_test_lists.json` handling for but never drives (VERDICT r4
+        #5). `dataset` is a loaded split (e.g. `load_dataset(cfg,
+        test=True)`); `train_pivot` is the pivot of the split the map was
+        BUILT from, so the test split's re-based poses are expressed in the
+        run's world frame (each split re-bases on its own frame 0:
+        w2c_run = w2c_split @ pivot_split @ inv(pivot_train))."""
+        intr = _cal_intrinsics(self.cfg)
+        ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
+        adj = np.eye(4)
+        if train_pivot is not None and getattr(dataset, "pivot", None) is not None:
+            adj = np.asarray(dataset.pivot) @ np.linalg.inv(np.asarray(train_pivot))
+        rows = []
+        for i in range(len(dataset)):
+            _ts, color, depth, _mask, w2c = dataset[i]
+            w2c = jnp.asarray(np.asarray(w2c) @ adj, jnp.float32)
+            out = self.mapper._render_model(
+                self.mapper.surfels, w2c, ia, intr.width, intr.height)
+            depth_m = (depth.astype(np.float32) / float(
+                self.cfg.Dataset.Calibration.depth_scale))[..., None]
+            r = evalu.eval_render(
+                color.astype(np.float32) / 255.0, depth_m,
+                np.asarray(out["color"]), np.asarray(out["depth"]))
+            r["frame"] = i
+            rows.append(r)
+        if not rows:
+            return {}
+        vals = lambda k: [r[k] for r in rows
+                          if isinstance(r.get(k), (int, float)) and np.isfinite(r[k])]
+        rep = {
+            "per_frame": [{k: v for k, v in r.items()
+                           if not isinstance(v, float) or np.isfinite(v)} for r in rows],
+            "mean": {k: float(np.mean(vals(k))) for k in ("psnr", "ssim", "depth_l1")
+                     if vals(k)},
+            "n_frames": len(rows),
+        }
+        os.makedirs(self.save_dir, exist_ok=True)
+        with open(os.path.join(self.save_dir, "render_metrics_testsplit.json"), "w") as f:
+            json.dump(rep, f, indent=2)
+        return rep
+
     def evaluate_render(self) -> dict:
         """Render metrics over the keyframe set (wiring the reference's dead
-        `eval_render` flag)."""
+        `eval_render` flag) plus a held-out section at non-keyframe tracked
+        poses (see `evaluate_render_heldout`)."""
         results = []
         for kf in self.mapper.keyframe_manager.keyframes.values():
             out = self.mapper._render_model(
@@ -599,14 +780,19 @@ class EGGFusion:
             return float(np.mean(vals)) if vals else None  # None = strict JSON
 
         agg = {k: nanmean([r[k] for r in results]) for k in results[0]}
+        held_out = self.evaluate_render_heldout()
         san = lambda v: v if isinstance(v, str) or v is None or np.isfinite(v) else None
         with open(os.path.join(self.save_dir, "render_metrics.json"), "w") as f:
             json.dump(
                 {
                     "per_keyframe": [{k: san(v) for k, v in r.items()} for r in results],
                     "mean": agg,
+                    "held_out": held_out,
                 },
                 f, indent=2,
             )
         print("Render metrics:", agg)
+        if held_out:
+            print("Held-out render metrics:", held_out["mean"],
+                  f"({held_out['n_frames']} non-keyframe views)")
         return agg

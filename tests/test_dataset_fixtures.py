@@ -219,21 +219,36 @@ class TestScanNetPPFixture:
                 "transform_matrix": v.tolist(),
                 "is_bad": False,
             })
+        # REAL train/test split (VERDICT r4 #5): the last frame is held out
+        # as the test split, exactly how ScanNet++ ships
+        # `train_test_lists.json`; the run builds the map from train only
+        # and `evaluate_render_dataset` scores renders at the test frame's
+        # GT pose re-based into the train world.
         (root / "dslr/nerfstudio/transforms_undistorted.json").write_text(
             json.dumps({"frames": entries})
         )
         (root / "dslr/train_test_lists.json").write_text(
-            json.dumps({"train": [f"{n}.JPG" for n in names], "test": []})
+            json.dumps({"train": [f"{n}.JPG" for n in names[:-1]],
+                        "test": [f"{names[-1]}.JPG"]})
         )
 
         cfg = _cfg({"type": "scannetpp", "dataset_path": str(root), "scene": "fx"},
                    tmp_path, scale, extra_system={"only_mapping": True})
         ds = load_dataset(cfg)
-        assert len(ds) == N_FRAMES
+        assert len(ds) == N_FRAMES - 1
         # pose convention survives the flip chain: parsed w2c == written w2c
-        for i in range(N_FRAMES):
+        for i in range(N_FRAMES - 1):
             np.testing.assert_allclose(ds.poses[i], poses[i], atol=1e-9)
-        _check_run(cfg, poses, ate_tol=1.0)
+        ef = _check_run(cfg, poses, ate_tol=1.0)
+
+        # test-split evaluation: load the held-out split and score renders
+        ds_test = load_dataset(cfg, test=True)
+        assert len(ds_test) == 1
+        rep = ef.evaluate_render_dataset(ds_test, train_pivot=ds.pivot)
+        assert rep["n_frames"] == 1
+        assert np.isfinite(rep["mean"]["psnr"]) and rep["mean"]["psnr"] > 10.0, rep
+        assert rep["mean"]["depth_l1"] < 0.2, rep
+        assert os.path.exists(os.path.join(ef.save_dir, "render_metrics_testsplit.json"))
 
 
 class TestAzureFixture:

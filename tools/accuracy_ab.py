@@ -153,6 +153,14 @@ def main():
         # shipped default) and the previous 1.0-step default, for the record
         "steps05": (PROD_T, {**PROD_M, "opt_step_scale": 0.5}),
         "steps0667": (PROD_T, {**PROD_M, "opt_step_scale": 0.667}),
+        # round 5 tracking-cost arms: drop the 2nd finest-level GN iteration
+        # / thin the finest constraint grid to stride 3 (level 0 holds ~80%
+        # of the gather cost)
+        "iters331": ({**PROD_T, "pyramid_iters": [3, 3, 1]}, PROD_M),
+        # NOTE: solver_stride_fine=3 reproducibly CRASHES the tunnel TPU
+        # worker (kernel fault, twice) — the knob exists but stride-3
+        # full-res shapes are not TPU-safe on this stack; not adopted
+        "stride3fine": ({**PROD_T, "solver_stride_fine": 3}, PROD_M),
     }
     which = [a for a in (os.environ.get("AB_ARMS", "fast,exact,burst").split(",")) if a]
 

@@ -19,7 +19,7 @@ NOISE = {"depth_sigma0": 0.001, "depth_sigma2": 0.0015, "depth_quant": 0.002,
          "edge_dropout_px": 1, "dropout_frac": 0.005, "color_sigma": 0.02}
 
 
-def one(name, dataset_extra, tracking=None, n_frames=40):
+def one(name, dataset_extra, tracking=None, n_frames=40, mapping=None):
     import numpy as np
 
     from eggfusion_tpu import config as cfglib
@@ -38,7 +38,10 @@ def one(name, dataset_extra, tracking=None, n_frames=40):
         },
         Viewer={"max_surfels_num": 120_000},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
-        Tracking=tracking or {},
+        # shipped production values (configs/base.yaml) — DEFAULTS are
+        # reference parity since r5, so the probe states them explicitly
+        Tracking={"pyramid_iters": [3, 3, 2], **(tracking or {})},
+        Mapping={"opt_step_scale": 0.5, **(mapping or {})},
         System={"save_dir": f"results/advprobe_{name}", "final_global_opt": False},
     )
     ef = run(cfg, verbose=False)
@@ -68,6 +71,12 @@ ARMS = {
     "noisy_handheld_sparse": (_HH, {"use_sparse": True}),
     "noisy_handheld_nomotion": (_HH, {"use_motion_model": False}),
     "noisy_loop": ({"trajectory": "loop", "noise": NOISE}, None),
+    # round-5 diagnostics: isolate the regression source on the noise arm
+    "noise_nogate": ({"noise": NOISE}, None, {"gate_fusion_on_tracking": False}),
+    "noise_iters332": ({"noise": NOISE}, {"pyramid_iters": [3, 3, 2]}, None),
+    "noise_steps0667": ({"noise": NOISE}, None, {"opt_step_scale": 0.667}),
+    "noisyhh_nogate": ({"trajectory": "handheld", "noise": NOISE}, None,
+                       {"gate_fusion_on_tracking": False}),
 }
 
 
@@ -83,8 +92,8 @@ def main():
     except Exception:
         rows = []
     for name in which:
-        extra, tracking = ARMS[name]
-        row = one(name, extra, tracking)
+        extra, tracking, *rest = ARMS[name]
+        row = one(name, extra, tracking, mapping=rest[0] if rest else None)
         rows = [r for r in rows if r.get("name") != name] + [row]
         with open("results/adversarial_probe.json", "w") as f:
             json.dump(rows, f, indent=2)

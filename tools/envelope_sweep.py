@@ -2,10 +2,18 @@
 surfels on the orbit-in-a-room synthetic at production resolution and
 measure the FPS/spike profile as capacity rungs grow.
 
+Round-5 honesty fix: the sweep now maps at GT poses (`only_mapping`, the
+reference's own mode for ScanNet++). Dense tracking on this scene is
+DEGENERATE — the room is planar and low-texture, so point-to-plane ICP can
+slide along walls with near-zero residual; r4's 975k-surfel sweep silently
+free-ran on the motion model and grew the map along a drifting trajectory.
+The envelope measures CAPACITY/THROUGHPUT (rung growth, compile storms,
+1M+ live surfels), and with GT poses it measures exactly that.
+
     python tools/envelope_sweep.py [n_frames] [max_surfels]
 
 Writes results/envelope_sweep.json: per-phase frame timings, surfel counts,
-capacity rung transitions.
+capacity rung transitions, compile events.
 """
 from __future__ import annotations
 
@@ -31,6 +39,9 @@ def main():
 
     n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 300
     max_surfels = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    # MIN_CAP=N pre-sizes the SoA (System.min_capacity): the known-scene-
+    # scale mode that skips the growth path and its compile storms entirely
+    min_cap = int(os.environ.get("MIN_CAP", 0))
     width, height = 1280, 704
 
     cfg = cfglib.default_config(
@@ -45,8 +56,15 @@ def main():
         },
         Viewer={"max_surfels_num": max_surfels},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
-        Mapping={"local_map_iter": 3},
-        System={"save_dir": "results/envelope", "final_global_opt": False},
+        # production values (configs/base.yaml; DEFAULTS are reference parity)
+        Mapping={"local_map_iter": 3, "opt_step_scale": 0.5},
+        Tracking={"pyramid_iters": [3, 3, 2]},
+        # round 5: whole-ladder background precompile from warmup — rung
+        # growth during the sweep should hit compiled programs instead of
+        # the 10-163 s inline compile storms BENCH/VERDICT r4 measured
+        System={"save_dir": "results/envelope", "final_global_opt": False,
+                "only_mapping": True, "min_capacity": min_cap,
+                "precompile_ladder": min_cap == 0},
     )
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
@@ -106,10 +124,16 @@ def main():
         "final_capacity": ef.mapper.surfels.capacity,
         "fps": round(n_frames / wall, 2),
         "per_rung": prof, "spikes_over_400ms": spikes[:40],
+        # background compile campaigns that FINISHED, as (frame, capacity) —
+        # a rung entered before its campaign appears here paid inline
+        # compiles (VERDICT r4 #8: the sweep self-documents its storms)
+        "compile_events": ef.mapper.compile_events,
+        "cap_switches": ef.mapper.cap_switches,
         "growth": counts,
     }
     os.makedirs("results", exist_ok=True)
-    with open("results/envelope_sweep.json", "w") as f:
+    out["min_capacity"] = min_cap
+    with open("results/envelope_sweep%s.json" % ("_presized" if min_cap else ""), "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({k: v for k, v in out.items() if k != "growth"}), flush=True)
 

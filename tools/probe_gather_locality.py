@@ -59,7 +59,7 @@ def main():
 
     proj = jax.jit(lambda p: rc.project_surfels(p, w2c, intr, width, height, 0))(params)
     for cap in (2048, 1024):
-        entry_sid, counts, _ = jax.jit(lambda pr: rp._bin_entries(
+        entry_sid, counts, _, _ = jax.jit(lambda pr: rp._bin_entries(
             pr.depth, pr.mean2d, pr.radius, pr.valid, n_tiles, tx, ty, cap,
             need_back=False))(proj)
         attrs = jnp.concatenate([

@@ -69,7 +69,7 @@ def main():
 
         bin_f = jax.jit(lambda pr: rp._bin_entries(
             pr.depth, pr.mean2d, pr.radius, pr.valid, n_tiles, tx, ty, cap))
-        entry_sid, counts, back_map = timeit("bin: 2 sorts + slots (N*K)", lambda: bin_f(proj))
+        entry_sid, counts, back_map, _ = timeit("bin: 2 sorts + slots (N*K)", lambda: bin_f(proj))
         cnp = np.asarray(counts)
         print(f"    sub-col counts: mean {cnp.mean():.0f} p50 {np.percentile(cnp, 50):.0f} "
               f"p90 {np.percentile(cnp, 90):.0f} max {cnp.max()} capsub {cap // 4}", flush=True)
