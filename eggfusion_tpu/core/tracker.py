@@ -241,10 +241,13 @@ class Tracker:
     def __init__(self, cfg):
         t = cfg.Tracking
         # pixel-sharded tracking under a mesh (see `dense_track`): the same
-        # System.mesh_devices knob that shards map optimization
+        # System.mesh_devices knob that shards map optimization.
+        # Tracking.shard_tracking=false keeps tracking single-device under a
+        # mesh (on virtual CPU meshes the per-GN-iteration collectives are
+        # host thread barriers and dominate wall time).
         self.mesh = None
         mesh_devices = int(cfg.System.get("mesh_devices", 0))
-        if mesh_devices >= 1:
+        if mesh_devices >= 1 and bool(t.get("shard_tracking", True)):
             from eggfusion_tpu.parallel import mesh as pmesh
 
             self.mesh = pmesh.make_mesh(mesh_devices)

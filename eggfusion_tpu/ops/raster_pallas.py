@@ -811,6 +811,55 @@ def n_tiles_static(width: int, height: int) -> int:
     return _cdiv(width, TILE_W) * _cdiv(height, TILE_H)
 
 
+# Frustum compaction for FORWARD-only renders — implemented, measured, and
+# DISABLED by default (round 5): compacting in-frustum surfels to a
+# half-capacity prefix before projection/binning was the named mitigation
+# for the 1M/3M O(capacity) wall, but the measured end-to-end effect at a
+# live 1M map was NEGATIVE (presized envelope median 65 -> 88 ms): the
+# per-field column gathers on the transposed (k, N) SoA cost more than the
+# halved projection/binning save, and the frame's remaining O(N) costs
+# (the GRADIENT path's projection/back-map/Adam, fusion's winner sort)
+# are untouched by a forward-only compaction. A packed row-gather variant
+# (one (N, C) relayout + one V-row gather) prices out marginal. Kept as an
+# env knob for experiments; the honest 3M lever is compacting the
+# OPTIMIZATION path, which needs a gradient scatter-back design.
+FRUSTUM_COMPACT_MIN = int(_os.environ.get("EGG_FRUSTUM_COMPACT_MIN", 1 << 30))
+
+
+def _frustum_compact(params: dict, w2c, intr, width: int, height: int):
+    """Compact in-frustum surfels to the first V = N/2 columns.
+
+    Returns a V-column params dict. Ordering inside the prefix is by depth
+    (a beneficial side effect: the binning sort keys arrive nearly
+    depth-sorted). Culled/overflow columns park at the back and are marked
+    inactive."""
+    xyz = params["xyz"]
+    n = xyz.shape[-1]
+    V = n // 2
+    R = w2c[:3, :3]
+    t = w2c[:3, 3]
+    p_cam = R @ xyz + t[:, None]
+    z = p_cam[2]
+    z_safe = jnp.where(jnp.abs(z) < 1e-8, 1e-8, z)
+    fx, fy, cx, cy = intr[0], intr[1], intr[2], intr[3]
+    u = fx * p_cam[0] / z_safe + cx
+    v = fy * p_cam[1] / z_safe + cy
+    # conservative margin: binning clamps splat extents to ~32 px anyway
+    m = 2 * BIN_RADIUS_MAX_Y + 1
+    inb = (z > rc.NEAR_Z) & (u > -m) & (u < width + m) & (v > -m) & (v < height + m)
+    keep = inb & params["active"]
+    qmax = (1 << DEPTH_BITS) - 1
+    qd = jnp.clip(z * (qmax / DEPTH_FAR), 0, qmax).astype(jnp.uint32)
+    key = jnp.where(keep, qd, jnp.uint32(0xFFFFFFFF))
+    order = jnp.argsort(key)[:V]
+    sel = lambda x: jnp.take(x, order, axis=-1)
+    out = {k: sel(v) for k, v in params.items()}
+    # culled columns gathered into the prefix tail (overflow only) must not
+    # render: re-derive active from the kept mask
+    out["active"] = jnp.take(keep, order, axis=-1)
+    return out
+
+
 def tile_pixel_mask(keep: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """Expand a per-tile keep mask (n_tiles,) to a per-pixel (H, W) bool mask.
 
@@ -856,6 +905,10 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
     tx_tiles = wp // TILE_W
     ty_tiles = hp // TILE_H
     n_tiles = tx_tiles * ty_tiles
+
+    if (not need_grad and binning is None
+            and params["xyz"].shape[-1] >= FRUSTUM_COMPACT_MIN):
+        params = _frustum_compact(params, w2c, intr, width, height)
 
     proj = rc.project_surfels(params, w2c, intr, width, height, sh_degree,
                               need_color=not geom_only)

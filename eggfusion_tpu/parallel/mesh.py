@@ -153,6 +153,14 @@ def run_multichip_dryrun(
         # is pathologically slow to compile at batch size B on the CPU mesh
         System={"mesh_devices": n_devices, "render_backend": "pallas",
                 "save_dir": "results/multichip_dryrun",
+                # tiny slab caps: at 128x64 with ~1k surfels the production
+                # cap 2048 makes the interpret-mode compositor sweep 32
+                # chunks/tile — measured ~67 s/frame on the virtual CPU
+                # mesh, ALL of it kernel interpretation (compiles cached,
+                # tracking-shard on/off immaterial). Occupancy here is a
+                # few entries/sub-column; cap 256 is generous.
+                "raster_cap": 256, "opt_raster_cap": 128,
+                "adaptive_model_cap": False,
                 "final_global_opt": False},
     )
     t0 = _time.perf_counter()
