@@ -385,8 +385,17 @@ class Mapping:
             raise ValueError(
                 f"Mapping.opt_tile_fraction must be in (0, 1] (got {self.mcfg.opt_tile_fraction})")
         # gate fusion/spawn on the dense-tracking convergence flag (VERDICT
-        # r4 #3); off restores the reference's fuse-regardless behavior
+        # r4 #3); off restores the reference's fuse-regardless behavior.
+        # `gate_leak_streak`: after this many consecutive lagged failures
+        # the gate OPENS again (full reference behavior) — a short failure
+        # burst must not corrupt the map, but CHRONIC non-convergence
+        # (noisy/miscalibrated regimes where the solver never meets the
+        # strict thresholds) must not freeze it either: measured at 120x90
+        # noisy-handheld, a never-leaking gate starved the map to 878
+        # surfels and the emaciated model view produced a false-converged
+        # 1.8 m pose commit; leaking restores the reference's drift regime.
         self.gate_fusion = bool(m.get("gate_fusion_on_tracking", True))
+        self.gate_leak_streak = int(m.get("gate_leak_streak", 6))
         self.scfg = surfel_cfg or sf.SurfelConfig(
             capacity=int(cfg.Viewer.max_surfels_num),
             max_sh_degree=int(cfg.Surfel.max_sh_degree),
@@ -1104,7 +1113,7 @@ class Mapping:
                 None, key).compile()))
         return thunks
 
-    def mapping(self, frame, frame_map: dict, suspect: bool = False) -> dict | None:
+    def mapping(self, frame, frame_map: dict, fail_streak: int = 0) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
         `mapper.py:180-195`).
 
@@ -1113,11 +1122,13 @@ class Mapping:
         optimization frames, where the caller must render it AFTER the
         optimization (reference ordering, `system.py:47-49`).
 
-        `suspect=True` (the tracker's lagged failure streak is live) skips
-        keyframe acceptance and window appends: a pose from a failure streak
-        must not become an optimization target (the per-frame fusion/spawn
-        gate is the zero-lag `conv` flag; this host-side gate covers the
-        structures host control flow owns)."""
+        `fail_streak` (the tracker's lagged consecutive-failure count)
+        drives two host-side gates: while 0 < streak < `gate_leak_streak`,
+        keyframe acceptance and window appends are skipped (a pose from a
+        failure streak must not become an optimization target) and the
+        device-side fusion gate stays armed; at `gate_leak_streak` the
+        system LEAKS back to full reference behavior (see
+        `gate_leak_streak`)."""
         first = self.time == 0
         amortized = self.mcfg.opt_schedule == "amortized"
         opt_frame = self.time % self.mcfg.sw_optimize_freq == 0
@@ -1137,10 +1148,12 @@ class Mapping:
         # device-side convergence gate (see map_update docstring); the LOOSE
         # map_ok flag (residual within gate_residual_factor x the commit
         # threshold) when the tracker provides it, else the strict flag.
-        # GT-pose / frame-0 / gate-disabled frames pass a constant True
-        # scalar so the program signature stays unique
+        # GT-pose / frame-0 / gate-disabled / gate-leaked frames pass a
+        # constant True scalar so the program signature stays unique
+        leak = fail_streak >= self.gate_leak_streak > 0
+        suspect = 0 < fail_streak and not leak
         conv = None
-        if self.gate_fusion:
+        if self.gate_fusion and not leak:
             conv = getattr(frame, "tracking_map_ok",
                            getattr(frame, "tracking_converged", None))
         if conv is None:

@@ -67,6 +67,14 @@ class TrackerConfig(NamedTuple):
     # that exists, >0 values are for well-textured non-planar rigs only.
     commit_min_count: int = 0
     commit_rms_m: float = 0.005
+    # minimum VALID-CONSTRAINT fraction for the converged flag: the
+    # reference only requires n > 0 (via its NaN division), but a starved
+    # or garbage-warped solve with a handful of surviving constraints can
+    # sit at a stationary point and pass the gradient+step test — measured:
+    # a 120x90 noisy run committed a 1.8 m pose error as "converged"
+    # against a starved model view. A real lock covers a healthy fraction
+    # of the constraint grid.
+    min_valid_frac: float = 0.02
     # stop a level's GN iterations once the pose is numerically settled:
     # converged in the commit sense AND the last step moved the pose by less
     # than early_exit_factor * dx_threshold. The reference always runs all
@@ -132,6 +140,8 @@ def dense_track(
         stride = (cfg.solver_stride_fine
                   if level == 0 and cfg.solver_stride_fine > 0
                   else cfg.solver_stride)
+        Hl, Wl = model_lvl.intensity.shape[:2]
+        min_n = max(1.0, cfg.min_valid_frac * (Hl // stride) * (Wl // stride))
         # paired resampling pack, built once per level (loop-invariant)
         pack = gn.sampling_pack(frame_lvl)
         if mesh is not None:
@@ -145,7 +155,7 @@ def dense_track(
             pack = replicate(pack)
 
         def body(carry, model_lvl=model_lvl, frame_lvl=frame_lvl, pack=pack,
-                 stride=stride):
+                 stride=stride, min_n=min_n):
             i, T, conv, _, _, _ = carry
             A, b, n, r2_icp, n_icp = gn.build_normal_equations(
                 model_lvl,
@@ -167,7 +177,8 @@ def dense_track(
             # converged — the reference gets this via 0/0 = NaN residual
             # (`tracker.py:241-250`); without the gate a fully-gated frame
             # (e.g. depth dropout) would be committed as a perfect track
-            conv_i = (residual_est < cfg.residual_thres) & (dx_norm < cfg.dx_threshold) & (n > 0)
+            conv_i = ((residual_est < cfg.residual_thres)
+                      & (dx_norm < cfg.dx_threshold) & (n > min_n))
             settled = conv_i & (dx_norm < cfg.early_exit_factor * cfg.dx_threshold)
             return i + 1, T_new, conv | conv_i, settled, rms, n_icp
 
@@ -263,6 +274,7 @@ class Tracker:
             solver_stride=int(t.get("solver_stride", 2)),
             solver_stride_fine=int(t.get("solver_stride_fine", 0)),
             commit_min_count=int(t.get("commit_min_count", 0)),
+            min_valid_frac=float(t.get("min_valid_frac", 0.02)),
             commit_rms_m=float(t.get("commit_rms_m", 0.005)),
             early_exit=bool(t.get("early_exit", False)),
             early_exit_factor=float(t.get("early_exit_factor", 0.05)),

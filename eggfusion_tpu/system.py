@@ -407,7 +407,7 @@ class EGGFusion:
         t1 = _time.perf_counter()
         self.preprocess(frame)
         model_map = self.mapper.mapping(
-            frame, self.frame_map, suspect=self.tracker._fail_streak > 0)
+            frame, self.frame_map, fail_streak=self.tracker._fail_streak)
         t2 = _time.perf_counter()
         if model_map is not None:
             # fused path: the map update already rendered + postprocessed

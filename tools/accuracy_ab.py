@@ -157,6 +157,9 @@ def main():
         # / thin the finest constraint grid to stride 3 (level 0 holds ~80%
         # of the gather cost)
         "iters331": ({**PROD_T, "pyramid_iters": [3, 3, 1]}, PROD_M),
+        # round 5: thinner stochastic tile subset per opt step (the bwd
+        # compositor kernel scales with the kept fraction)
+        "tile0375": (PROD_T, {**PROD_M, "opt_tile_fraction": 0.375}),
         # NOTE: solver_stride_fine=3 reproducibly CRASHES the tunnel TPU
         # worker (kernel fault, twice) — the knob exists but stride-3
         # full-res shapes are not TPU-safe on this stack; not adopted
