@@ -289,6 +289,11 @@ class Tracker:
         # (renders the model there and clears the motion model) instead of
         # free-running on the drifted frame-to-frame estimate. 0 disables.
         self.recover_after = int(t.get("recover_after", 3))
+        # chronic-failure counter for the mapper's gate leak: unlike
+        # `_fail_streak` (which recovery RESETS — recover_after 3 would
+        # otherwise keep the leak threshold 6 forever unreachable), this
+        # only resets when a solve actually converges.
+        self.chronic_fails = 0
         # fusion-gate looseness (round 5). 0 (default) = STRICT: fuse only
         # converged frames. >0 = loose: fuse when residual <
         # factor * residual_thres. Measured on the adversarial probe, the
@@ -361,9 +366,11 @@ class Tracker:
             conv_ref, pose = self._conv_pending.popleft()
             if bool(np.asarray(conv_ref)):
                 self._fail_streak = 0
+                self.chronic_fails = 0
                 self.last_good_w2c = pose
             else:
                 self._fail_streak += 1
+                self.chronic_fails += 1
 
     def needs_recovery(self) -> bool:
         """True when dense tracking has failed `recover_after` frames in a

@@ -407,7 +407,8 @@ class EGGFusion:
         t1 = _time.perf_counter()
         self.preprocess(frame)
         model_map = self.mapper.mapping(
-            frame, self.frame_map, fail_streak=self.tracker._fail_streak)
+            frame, self.frame_map,
+            fail_streak=max(self.tracker._fail_streak, self.tracker.chronic_fails))
         t2 = _time.perf_counter()
         if model_map is not None:
             # fused path: the map update already rendered + postprocessed
