@@ -139,6 +139,13 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
+def _chunk_for(cap: int) -> int:
+    """Effective slot-group chunk: CHUNK, clamped so tiny caps (tests, the
+    multichip dryrun's occupancy-sized slabs) stay a whole number of
+    chunks."""
+    return min(CHUNK, max(1, cap // N_SUB))
+
+
 # --------------------------------------------------------------------------
 # shared per-entry math
 # --------------------------------------------------------------------------
@@ -207,7 +214,7 @@ def _lane_counts(counts_ref, t):
     return cnt
 
 
-def _stripe_live(i, T, counts_ref, t, capsub):
+def _stripe_live(i, T, counts_ref, t, capsub, chunk):
     """Sweep-continuation predicate (see EXIT_MODE).
 
     "count": run to the deepest sub-column's slot count, no transmittance
@@ -220,7 +227,7 @@ def _stripe_live(i, T, counts_ref, t, capsub):
     count = counts_ref[t, 0]
     for c in range(1, N_SUB):
         count = jnp.maximum(count, counts_ref[t, c])
-    in_count = i * CHUNK < jnp.minimum(count, capsub)
+    in_count = i * chunk < jnp.minimum(count, capsub)
     if EXIT_MODE == "count":
         return in_count
     if EXIT_MODE == "global":
@@ -229,7 +236,7 @@ def _stripe_live(i, T, counts_ref, t, capsub):
     for c in range(N_SUB):
         n_c = jnp.minimum(counts_ref[t, c], capsub)
         Tc = jnp.max(T[:, c * SUB_W : (c + 1) * SUB_W])
-        lc = (i * CHUNK < n_c) & (Tc > STOP_EPS)
+        lc = (i * chunk < n_c) & (Tc > STOP_EPS)
         live = lc if live is None else live | lc
     return live
 
@@ -266,7 +273,8 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
     those two channels, and dropping the other six halves the per-entry
     FMA work."""
     capsub = cap // N_SUB
-    rows = CHUNK * N_SUB  # slab rows per chunk (32)
+    chunk = _chunk_for(cap)
+    rows = chunk * N_SUB  # slab rows per chunk
 
     def kernel(counts_ref, intr_ref, entries_ref, *out_refs):
         if geom:
@@ -288,7 +296,7 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
         def cond(carry):
             i = carry[0]
             T = carry[-1]
-            return _stripe_live(i, T, counts_ref, t, capsub)
+            return _stripe_live(i, T, counts_ref, t, capsub, chunk)
 
         def body(carry):
             if geom:
@@ -296,9 +304,9 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
             else:
                 i, r, g, b, nx, ny, nz, dep, opa, T = carry
             ch = entries_ref[0, pl.ds(i * rows, rows), :]
-            for k in range(CHUNK):
+            for k in range(chunk):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                vmask = (i * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                vmask = (i * chunk + k < cnt_lanes).astype(jnp.float32)
                 alpha, _, _, _ = _group_alpha(attrs, xs, ys, vmask)
                 z_px, _, _, _ = _group_zpx(attrs, rx, ry)
                 w = T * alpha
@@ -343,7 +351,8 @@ def _make_fwd_kernel(tx_tiles: int, cap: int, geom: bool = False):
 
 def _make_bwd_kernel(tx_tiles: int, cap: int):
     capsub = cap // N_SUB
-    rows = CHUNK * N_SUB
+    chunk = _chunk_for(cap)
+    rows = chunk * N_SUB
 
     def kernel(
         counts_ref, intr_ref, entries_ref,
@@ -369,15 +378,15 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         # than this recompute, which is alpha-only: no channel accumulation).
         def cond1(carry):
             i, T = carry
-            return _stripe_live(i, T, counts_ref, t, capsub)
+            return _stripe_live(i, T, counts_ref, t, capsub, chunk)
 
         def body1(carry):
             i, T = carry
             T_ckpt[pl.ds(i * TILE_H, TILE_H), :] = T
             ch = entries_ref[0, pl.ds(i * rows, rows), :]
-            for k in range(CHUNK):
+            for k in range(chunk):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                vmask = (i * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                vmask = (i * chunk + k < cnt_lanes).astype(jnp.float32)
                 alpha, _, _, _ = _group_alpha(attrs, xs, ys, vmask)
                 T = T * (1.0 - alpha)
             return i + 1, T
@@ -419,8 +428,8 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         # the stripe mask + ones-vector matmul sums each row's own 32-lane
         # stripe. All 2-D ops (Mosaic-friendly), MXU-cheap.
         C_pick = (
-            jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK * TILE_H), 1) // TILE_H
-            == jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK * TILE_H), 0) // N_SUB
+            jax.lax.broadcasted_iota(jnp.int32, (rows, chunk * TILE_H), 1) // TILE_H
+            == jax.lax.broadcasted_iota(jnp.int32, (rows, chunk * TILE_H), 0) // N_SUB
         ).astype(jnp.float32)
         SM_rows = (
             jax.lax.broadcasted_iota(jnp.int32, (rows, TILE_W), 1) // SUB_W
@@ -429,7 +438,7 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
         ones_w = jnp.ones((TILE_W, 1), jnp.float32)
 
         def _reduce_chunk(red_ins, j):
-            st = jnp.concatenate([red_ins[k][j] for k in range(CHUNK)], axis=0)
+            st = jnp.concatenate([red_ins[k][j] for k in range(chunk)], axis=0)
             X = jax.lax.dot_general(
                 C_pick, st, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -446,9 +455,9 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
 
             attrss, alphas, raws, dxs, dys, zpxs, zaux, Ts = [], [], [], [], [], [], [], []
             T = Tc
-            for k in range(CHUNK):
+            for k in range(chunk):
                 attrs = _stripe_attrs(ch[N_SUB * k : N_SUB * (k + 1), :], S)
-                vmask = (ci * CHUNK + k < cnt_lanes).astype(jnp.float32)
+                vmask = (ci * chunk + k < cnt_lanes).astype(jnp.float32)
                 alpha, raw, dx, dy = _group_alpha(attrs, xs, ys, vmask)
                 z_px, denom_safe, pn, use_plane = _group_zpx(attrs, rx, ry)
                 attrss.append(attrs)
@@ -456,8 +465,8 @@ def _make_bwd_kernel(tx_tiles: int, cap: int):
                 zpxs.append(z_px); zaux.append((denom_safe, pn, use_plane)); Ts.append(T)
                 T = T * (1.0 - alpha)
 
-            red_ins = [None] * CHUNK  # per group: list of 15 reduction images
-            for k in reversed(range(CHUNK)):
+            red_ins = [None] * chunk  # per group: list of 15 reduction images
+            for k in reversed(range(chunk)):
                 alpha = alphas[k]
                 Tk = Ts[k]
                 w = Tk * alpha
@@ -593,7 +602,7 @@ def _make_composite(hp: int, wp: int, cap: int, n_tiles: int, interpret: bool):
         out_specs=pl.BlockSpec((1, cap, N_ATTR), lambda t: (t, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_tiles, cap, N_ATTR), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM(((cap // (N_SUB * CHUNK)) * TILE_H, TILE_W), jnp.float32)
+            pltpu.VMEM(((cap // (N_SUB * _chunk_for(cap))) * TILE_H, TILE_W), jnp.float32)
         ],
         interpret=interpret,
     )
@@ -897,8 +906,8 @@ def _render_pallas_jit(params: dict, w2c, intr, width: int, height: int,
                        binning: Binning | None = None, geom_only: bool = False,
                        need_grad: bool = True, tile_keep: jnp.ndarray | None = None,
                        with_occupancy: bool = False) -> dict:
-    assert cap % (N_SUB * CHUNK) == 0, (
-        f"cap must be a multiple of {N_SUB * CHUNK} (sub-column slot chunks)"
+    assert cap % (N_SUB * _chunk_for(cap)) == 0, (
+        f"cap must be a multiple of {N_SUB * _chunk_for(cap)} (sub-column slot chunks)"
     )
     hp = _cdiv(height, TILE_H) * TILE_H
     wp = _cdiv(width, TILE_W) * TILE_W
