@@ -41,8 +41,10 @@ class Renderer:
         # the same 20k-surfel map), which the mapper misreads as uncovered
         # space and floods with spawns until the map saturates. 2048 holds
         # ~4 fused layers per pixel; compile time is cap-independent (the
-        # sweep is a while_loop) and runtime on covered tiles is bounded by
-        # transmittance early-exit, not cap. Reference comparison: the CUDA
+        # sweep is a while_loop) and runtime is bounded by the per-tile
+        # deepest sub-column COUNT (round 5: transmittance exits measurably
+        # never fire on fused maps — raster_pallas EXIT_MODE). Reference
+        # comparison: the CUDA
         # rasterizer uses variable-length per-tile lists — no cap at all
         # (`diff_gaussian_rasterization`, SURVEY N2).
         self.raster_cap = int(cfg.System.get("raster_cap", 2048))
