@@ -46,7 +46,9 @@ def main():
         },
         Viewer={"max_surfels_num": 600_000},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
-        Mapping={"local_map_iter": 3},
+        # production values (configs/base.yaml; DEFAULTS are reference parity)
+        Mapping={"local_map_iter": 3, "opt_step_scale": 0.5},
+        Tracking={"pyramid_iters": [3, 3, 2]},
         System={"save_dir": "results/profile_trace", "final_global_opt": False},
     )
     dataset = load_dataset(cfg)
