@@ -111,9 +111,9 @@ DEFAULTS = {
     "Tracking": {
         "pyramid_level": 3,
         # DEFAULTS stay at REFERENCE PARITY (ADVICE r4): the TPU-tuned
-        # values ([3, 3, 2] iters, opt_step_scale 0.667 — both validated on
-        # the 1280x704 synthetic A/B only) are owned by configs/base.yaml;
-        # programmatic users of default_config get reference behavior.
+        # values ([3, 3, 2] iters, opt_step_scale 0.5 — priced on the
+        # 1280x704 synthetic A/B plus the adversarial probe) are owned by
+        # configs/base.yaml; default_config users get reference behavior.
         "pyramid_iters": [3, 3, 3],
         "angle_threshold": 20,
         "distance_threshold": 0.1,
@@ -157,7 +157,7 @@ DEFAULTS = {
         "reg_weight_n": 1.0,
         "fusion_dist_thres": 0.03,
         "opt_tile_fraction": 0.5,
-        "opt_step_scale": 1.0,  # reference-parity step rate; the tuned 0.667
+        "opt_step_scale": 1.0,  # reference-parity step rate; the tuned 0.5
         #                         lives in configs/base.yaml (ADVICE r4)
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
