@@ -64,8 +64,14 @@ def main() -> None:
         # configs/base.yaml (DEFAULTS stay at reference parity, ADVICE r4 —
         # the bench measures the shipped config, so it sets them explicitly).
         Mapping={"local_map_iter": int(os.environ.get("BENCH_LMI", 3)),
-                 "opt_step_scale": 0.5},
-        Tracking={"pyramid_iters": [3, 3, 2]},
+                 "opt_step_scale": 0.5,
+                 **({"settled_skip": True}
+                    if os.environ.get("BENCH_SKIP") == "1" else {})},
+        # BENCH_MVDOWN=2 benches the half-res model view (A/B experiments;
+        # pairs with solver_stride 1 — equal finest constraint count)
+        Tracking={"pyramid_iters": [3, 3, 2],
+                  **({"model_view_down": 2, "solver_stride": 1}
+                     if os.environ.get("BENCH_MVDOWN") == "2" else {})},
         # capacity bucketing ON (the production default): the surfel SoA is
         # sized to the smallest power-of-two bucket that holds the live map
         # (262k here — frame 0's init spawn lands inside the init bucket and
@@ -74,7 +80,9 @@ def main() -> None:
         # projection, Adam, back_map gather) at max_surfels_num capacity.
         # Measured (tools/profile_phases.py, 600k -> 262k): map_update 41 ->
         # 24 ms, opt_step 57 -> 41 ms, bin_cache 17 -> 7.5 ms.
-        System={"save_dir": "results/bench", "final_global_opt": False},
+        System={"save_dir": "results/bench", "final_global_opt": False,
+                **({"raster_cap": int(os.environ["BENCH_RASTER_CAP"])}
+                   if os.environ.get("BENCH_RASTER_CAP") else {})},
     )
 
     dataset = load_dataset(cfg)

@@ -127,6 +127,17 @@ DEFAULTS = {
         "check_keyframe_R": 20,
         "check_keyframe_t": 0.3,
         "sliding_window_size": 3,
+        # model-view downsample factor (round 5, TPU-fast): 1 = reference
+        # parity (the tracking/spawn model view renders at full frame
+        # resolution). 2 = the model view renders at HALF resolution and
+        # dense tracking pairs it with the frame pyramid one octave down —
+        # with solver_stride 1 the finest-level constraint count equals the
+        # full-res stride-2 grid, while the coverage-critical model render
+        # and the tracking gathers run at a quarter of the pixels. The map
+        # OPTIMIZATION path (keyframe renders, losses) stays full-res, so
+        # reconstruction quality is unaffected except through spawn-mask
+        # granularity and tracking. Tuned value lives in configs/base.yaml.
+        "model_view_down": 1,
     },
     "Mapping": {
         "add_opacity_thres": 0.8,
@@ -159,6 +170,13 @@ DEFAULTS = {
         "opt_tile_fraction": 0.5,
         "opt_step_scale": 1.0,  # reference-parity step rate; the tuned 0.5
         #                         lives in configs/base.yaml (ADVICE r4)
+        # settled-frame render skip (round 5b): when the lag-N surfel counts
+        # are flat (no spawns) and tracking is healthy, skip the per-frame
+        # model render + spawn on at most every other frame — the tracker
+        # uses the previous view, one frame staler. OFF here (the reference
+        # renders every frame); the TPU-fast default is configs/base.yaml.
+        "settled_skip": False,
+        "settled_skip_tol": 256,
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
         "background": [1.0, 1.0, 1.0],

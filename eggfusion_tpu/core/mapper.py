@@ -107,6 +107,12 @@ OPT_FIELDS = ("xyz", "features_dc", "features_rest", "scaling", "rotation", "opa
 ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
 
 
+# sentinel returned by `Mapping.mapping` on settled fuse-only frames
+# (Mapping.settled_skip): the system must KEEP the previous tracking model
+# view instead of re-rendering one (None means "render after optimization")
+KEEP_MODEL_MAP = "__keep_model_map__"
+
+
 def _adam_init(params):
     zeros = lambda p: jnp.zeros_like(p)
     return {k: (zeros(v), zeros(v)) for k, v in params.items()}
@@ -348,6 +354,24 @@ class Mapping:
         m = cfg.Mapping
         H = int(cfg.Dataset.Calibration.height)
         W = int(cfg.Dataset.Calibration.width)
+        # model-view downsample (Tracking.model_view_down; see config.py):
+        # the per-frame spawn/tracking model render runs at 1/down resolution
+        self.view_down = int(cfg.Tracking.get("model_view_down", 1))
+        if self.view_down > 1:
+            assert W % self.view_down == 0 and H % self.view_down == 0, (
+                f"model_view_down={self.view_down} must divide the frame "
+                f"size ({W}x{H})")
+        # settled-frame render skip (round 5b): on frames where the map is
+        # settled (recent lag-N surfel counts flat within `settled_skip_tol`,
+        # no failure streak, at most every other frame) the per-frame model
+        # render + spawn are skipped and tracking keeps the previous view
+        # (one frame staler). OFF by default (reference renders every frame,
+        # `mapper.py:260-264`); the TPU-fast value lives in configs/base.yaml.
+        self.settled_skip = bool(m.get("settled_skip", False))
+        self.settled_skip_tol = int(m.get("settled_skip_tol", 256))
+        self._skip_last = False
+        self.render_skips = 0  # observability: settled fuse-only frames
+        self._count_hist: deque = deque(maxlen=3)
         self.mcfg = MapperConfig(
             local_map_iter=int(m.local_map_iter),
             local_map_iter_init=int(m.local_map_iter_init),
@@ -587,11 +611,12 @@ class Mapping:
         want_occ = self.renderer.adaptive_model_cap
 
         @functools.partial(jax.jit, static_argnames=("width", "height", "first", "full_post",
-                                                     "model_cap"),
+                                                     "model_cap", "down", "do_render"),
                            donate_argnums=(0,))
         def map_update(s: sf.SurfelMap, frame_map: dict, w2c, intr, time, root_key,
                        width: int, height: int, first: bool, full_post: bool,
-                       model_cap: int = 0, conv=None):
+                       model_cap: int = 0, conv=None, down: int = 1,
+                       do_render: bool = True):
             """Per-frame map update (reference `surfels_preprocess`,
             `mapper.py:242-324`): fuse then spawn.
 
@@ -618,7 +643,19 @@ class Mapping:
             the gate has zero lag and zero host syncs — a non-converged
             frame's measurements simply never touch the map (geo gate) and
             never spawn. The tracking view still renders (the system uses it
-            to re-lock)."""
+            to re-lock).
+
+            `do_render=False` (Mapping.settled_skip, round 5b): fuse-only
+            frame — the model render, spawn mask and spawning are skipped
+            entirely and the caller keeps tracking against the previous
+            model view (one frame staler). The host only chooses this on
+            SETTLED frames: alternate frames at most, zero recent spawns
+            (lag-N counts flat), no failure streak — so formation,
+            exploration and recovery frames always render. The settledness
+            signals are the same lag-N readbacks that feed capacity
+            management, so the gate costs no syncs; coverage loss is
+            self-correcting because any spawn burst un-settles the counts
+            and re-enables per-frame renders within `count_lag` frames."""
             from eggfusion_tpu.system import postprocess_model_map
 
             key = jax.random.fold_in(root_key, time)  # per-frame key, in-program
@@ -637,7 +674,17 @@ class Mapping:
                     frame_map["color_map"], depth, geo_gate,
                     mcfg.fusion_dist_thres, scfg,
                 )
-                model = render_at(sf.render_params(s), w2c, intr, width, height,
+                if not do_render:  # settled fuse-only frame (no spawn)
+                    s = sf.update_stability(s, mcfg.stable_confidence)
+                    stats_vec = jnp.stack(
+                        [stats.fused_pixels, stats.error_pixels, jnp.int32(-1)])
+                    return s, None, stats_vec
+                # model view at 1/down resolution (Tracking.model_view_down):
+                # the spawn mask is computed on the downsampled grid and
+                # nearest-upsampled; fusion above stays full-res
+                intr_r = intr / down if down > 1 else intr
+                model = render_at(sf.render_params(s), w2c, intr_r,
+                                  width // down, height // down,
                                   geom_only=not full_post, need_grad=False,
                                   cap=model_cap or None, with_occupancy=want_occ)
                 # fused/error pixel counts + the true binning occupancy
@@ -649,10 +696,14 @@ class Mapping:
                 occ = model.pop("max_occupancy", jnp.int32(-1))
                 stats_vec = jnp.stack(
                     [stats.fused_pixels, stats.error_pixels, occ])
+                depth_d = depth[::down, ::down] if down > 1 else depth
                 opacity_mask = model["opacity"] < mcfg.add_opacity_thres
-                depth_err = model["depth"] - depth  # foreground-hole aware (`mapper.py:311`)
+                depth_err = model["depth"] - depth_d  # foreground-hole aware (`mapper.py:311`)
                 sample_mask = ((opacity_mask | (depth_err > mcfg.add_depth_thres))
-                               & (depth > 0) & conv)
+                               & (depth_d > 0) & conv)
+                if down > 1:  # nearest-upsample: spawn picks full-res pixels
+                    sample_mask = jnp.repeat(
+                        jnp.repeat(sample_mask, down, axis=0), down, axis=1)
                 ratio = mcfg.sample_ratio
                 cap = mcfg.spawn_cap
                 if full_post:
@@ -666,7 +717,7 @@ class Mapping:
                         rendered, frame_map, intr, w2c,
                         sys_cfg["reco_normal_thres"], sys_cfg["reco_depth_thres"],
                         sys_cfg["reco_opacity_thres"], sys_cfg["depth_min"],
-                        sys_cfg["depth_max"], sys_cfg["nlevel"],
+                        sys_cfg["depth_max"], sys_cfg["nlevel"], down=down,
                     )
             else:
                 sample_mask = depth > 0
@@ -833,11 +884,11 @@ class Mapping:
             ("map_update", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
                 first=False, full_post=True, model_cap=self.model_cap,
-                conv=conv).compile()),
+                conv=conv, down=self.view_down).compile()),
             ("map_update_first", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
                 first=True, full_post=True, model_cap=self.model_cap,
-                conv=conv).compile()),
+                conv=conv, down=self.view_down).compile()),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("bin_cache", lambda: self._bin_cache.lower(
@@ -848,11 +899,17 @@ class Mapping:
             ("pose_mag", lambda: _relative_pose_mag.lower(w2c, w2c).compile()),
             ("compact", lambda: _compact_jit.lower(s).compile()),
         ]
+        if self.settled_skip:
+            thunks.append(("map_update_skip", lambda: self._map_update.lower(
+                s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
+                first=False, full_post=True, model_cap=self.model_cap,
+                conv=conv, down=self.view_down, do_render=False).compile()))
         if self._adaptive_cap:
             thunks.append(("map_update_lowcap", lambda: self._map_update.lower(
                 s, frame_map, w2c, intr, t0, self._rng, width=W, height=H,
                 first=False, full_post=True,
-                model_cap=self.renderer.model_cap_min, conv=conv).compile()))
+                model_cap=self.renderer.model_cap_min, conv=conv,
+                down=self.view_down).compile()))
         if self.renderer.backend == "pallas":
             # the cached-binning opt_step variant (amortized hot path) has a
             # different signature (cache pytree instead of None): lower it
@@ -878,6 +935,15 @@ class Mapping:
                 return c
         return self.max_capacity
 
+    def _consume_counts(self) -> None:
+        """Fold in surfel-count readbacks at least `count_lag` frames old
+        (async copies — reading them never blocks on device progress)."""
+        while self._count_pending and self._count_pending[0][0] <= self.time - self.count_lag:
+            t, ref = self._count_pending.popleft()
+            self._known_count = int(np.asarray(ref))
+            self._known_time = t
+            self._count_hist.append(self._known_count)
+
     def _cap_needed(self) -> int:
         """Capacity the map needs right now: freshest consumed count plus the
         spawn headroom (`_spawn_margin`; the frame-0 init burst while no
@@ -898,10 +964,7 @@ class Mapping:
         remote-attached TPUs). Spawns that outrun the margin drop at
         capacity for the 1-2 frames until the count catches up (see
         `_spawn_margin`)."""
-        while self._count_pending and self._count_pending[0][0] <= self.time - self.count_lag:
-            t, ref = self._count_pending.popleft()
-            self._known_count = int(np.asarray(ref))
-            self._known_time = t
+        self._consume_counts()
         cap_needed = self._cap_needed()
         if cap_needed > self.surfels.capacity:
             self.surfels = sf.grow_surfels(self.surfels, self._bucket(cap_needed))
@@ -1072,7 +1135,13 @@ class Mapping:
             ("map_update", lambda: self._map_update.lower(
                 s, fm, w2c, intr, t0, key, width=W, height=H,
                 first=False, full_post=amortized,
-                model_cap=self.model_cap, conv=convb).compile()),
+                model_cap=self.model_cap, conv=convb,
+                down=self.view_down).compile()),
+            *([("map_update_skip", lambda: self._map_update.lower(
+                s, fm, w2c, intr, t0, key, width=W, height=H,
+                first=False, full_post=amortized, model_cap=self.model_cap,
+                conv=convb, down=self.view_down, do_render=False).compile())]
+              if self.settled_skip and amortized else []),
             ("render_model", lambda: self._render_model.lower(
                 s, w2c, intr, width=W, height=H).compile()),
             ("compact", lambda: _compact_jit.lower(s).compile()),
@@ -1088,7 +1157,7 @@ class Mapping:
             thunks.append(("map_update_altcap", lambda: self._map_update.lower(
                 s, fm, w2c, intr, t0, key, width=W, height=H,
                 first=False, full_post=amortized, model_cap=other,
-                conv=convb).compile()))
+                conv=convb, down=self.view_down).compile()))
         if self.mesh is not None:
             # mesh mode uses the window-batched step; its batch shapes
             # depend on the live window, so it compiles at first use
@@ -1112,6 +1181,20 @@ class Mapping:
                 s, moments, t0, kfm, w2c, intr, geo, lrs, W, H,
                 None, key).compile()))
         return thunks
+
+    def _skip_render_ok(self, fail_streak: int) -> bool:
+        """Host-side settledness gate for the fuse-only frame (settled_skip).
+
+        All signals are lag-N readbacks already consumed for capacity
+        management — the check is sync-free. Conservative on purpose: any
+        doubt (stale counts, moving counts, failure streak, last frame
+        already skipped) renders."""
+        if not self.settled_skip or self._skip_last or fail_streak > 0:
+            return False
+        h = self._count_hist
+        if len(h) < h.maxlen or self._known_time < self.time - 3 * self.count_lag:
+            return False
+        return max(h) - min(h) <= self.settled_skip_tol
 
     def mapping(self, frame, frame_map: dict, fail_streak: int = 0) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
@@ -1140,6 +1223,8 @@ class Mapping:
         if self.bucketing:
             self._ensure_capacity(first)
             self._pump_compiles()  # start any queued campaign (ADVICE r4)
+        elif self.settled_skip:
+            self._consume_counts()  # settledness signal without bucketing
         # amortized schedule: EVERY frame's map update emits the fused model
         # map (1-2 opt steps per frame don't warrant the reference's
         # post-optimization re-render; the next frame tracks a view at most
@@ -1158,11 +1243,21 @@ class Mapping:
                            getattr(frame, "tracking_converged", None))
         if conv is None:
             conv = jnp.bool_(True)
+        # settled fuse-only frame (see _skip_render_ok): skip render + spawn,
+        # keep the previous tracking view. Only on fused-model-map frames
+        # (amortized full_post) — burst-mode opt frames re-render after the
+        # optimization anyway.
+        skip = (not first and full_post and self._skip_render_ok(fail_streak))
         self.surfels, model_map, stats_vec = self._map_update(
             self.surfels, frame_map, frame.w2c_matrix(), frame.intr,
             jnp.int32(self.time), self._rng, frame.width, frame.height, first,
             full_post, model_cap=self.model_cap, conv=conv,
+            down=self.view_down, do_render=not skip,
         )
+        self._skip_last = skip
+        if skip:
+            self.render_skips += 1
+            model_map = KEEP_MODEL_MAP
         if stats_vec is not None:
             try:
                 stats_vec.copy_to_host_async()
@@ -1175,7 +1270,7 @@ class Mapping:
             self.fusion_stats[t] = (int(v[0]), int(v[1]))
             if v.shape[0] > 2 and int(v[2]) >= 0:
                 self._observe_occupancy(int(v[2]))
-        if self.bucketing:
+        if self.bucketing or self.settled_skip:
             # fresh buffer (+0), NOT an alias: opt_step donates the SoA, which
             # would delete the very buffer the async copy reads from
             ref = self.surfels.count + 0

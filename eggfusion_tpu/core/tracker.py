@@ -280,6 +280,14 @@ class Tracker:
             early_exit_factor=float(t.get("early_exit_factor", 0.05)),
         )
         self.only_mapping = bool(cfg.System.only_mapping)
+        # model-view downsample (Tracking.model_view_down): the model
+        # pyramid's base level is 1/down resolution, so the FRAME pyramid is
+        # built `view_off` levels deeper and sliced here — pyr_frame[off:]
+        # pairs level-for-level (shape and intrinsics) with the model
+        # pyramid. down=1 is reference parity (off 0, slice is a no-op).
+        down = int(t.get("model_view_down", 1))
+        assert down & (down - 1) == 0, "model_view_down must be a power of 2"
+        self.view_off = down.bit_length() - 1
         self.use_sparse = bool(t.get("use_sparse", False))
         self.use_motion_model = bool(t.get("use_motion_model", True))
         self.motion_damping = float(t.get("motion_damping", 0.5))
@@ -400,8 +408,8 @@ class Tracker:
 
         pyr_model = model_map["pyramid"]
         curr, converged, rms, n_icp = dense_track_pose(
-            pyr_model, frame.pyramid, seed_delta, prev_transform, self.config,
-            self.mesh,
+            pyr_model, frame.pyramid[self.view_off:], seed_delta,
+            prev_transform, self.config, self.mesh,
         )
         frame.tracking_converged = converged  # device scalar; sync-free
         if self.gate_residual_factor > 0:

@@ -466,6 +466,11 @@ def load_dataset(config, test: bool = False) -> RGBDDataset:
         ds = SyntheticDataset(config)
     else:
         raise ValueError(f"Unknown dataset type: {kind}")
+    # frame pyramid depth the tracker needs: extra levels when the model
+    # view renders downsampled (Tracking.model_view_down; see core.tracker)
+    t = config.get("Tracking", {})
+    down = int(t.get("model_view_down", 1))
+    ds.frame_nlevel = int(t.get("pyramid_level", 3)) + (down.bit_length() - 1)
     if bool(config.Dataset.get("preload", True)):
         ds.start_prefetch()
     return ds

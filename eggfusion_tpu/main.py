@@ -13,10 +13,14 @@ import time
 import numpy as np
 
 
-def build_frame(dataset, fid: int, preload: bool):
+def build_frame(dataset, fid: int, preload: bool, nlevel: int = 3):
     import jax
 
     from eggfusion_tpu.core.frame import Frame
+
+    # `load_dataset` stamps the pyramid depth the tracker needs (extra
+    # levels when Tracking.model_view_down > 1) so every caller inherits it
+    nlevel = getattr(dataset, "frame_nlevel", nlevel)
 
     ts, color, depth, mask, gt_pose = dataset.get_buffer_frame() if preload else dataset[fid]
     if isinstance(mask, np.ndarray):
@@ -33,11 +37,12 @@ def build_frame(dataset, fid: int, preload: bool):
             uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
             gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
             projmat=dataset.projmat, prefiltered=True, filter_depth=True,
+            nlevel=nlevel,
         )
     return Frame(
         uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
         gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
-        projmat=dataset.projmat,
+        projmat=dataset.projmat, nlevel=nlevel,
     )
 
 
@@ -58,7 +63,7 @@ def run(cfg, max_frames: int | None = None, verbose: bool = False, resume: str |
     preload = bool(cfg.Dataset.get("preload", True)) and start == 0
     t_start = time.perf_counter()
     for fid in range(start, n):
-        frame = build_frame(dataset, fid, preload)
+        frame = build_frame(dataset, fid, preload, nlevel=ef.nlevel_frame)
         ef.reconstruct(frame)
         if verbose or fid % 25 == 0:
             m = ef.metrics[-1]

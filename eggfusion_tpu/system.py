@@ -84,14 +84,25 @@ def preprocess_frame_map(color, depth, vmap, nmap, mask, intr, w2c, reco_normal_
     }
 
 
-@functools.partial(jax.jit, static_argnames=("reco_normal_thres", "reco_depth_thres", "reco_opacity_thres", "depth_min", "depth_max", "nlevel"))
+@functools.partial(jax.jit, static_argnames=("reco_normal_thres", "reco_depth_thres", "reco_opacity_thres", "depth_min", "depth_max", "nlevel", "down"))
 def postprocess_model_map(rendered: dict, frame_map: dict, intr, w2c,
                           reco_normal_thres: float, reco_depth_thres: float,
                           reco_opacity_thres: float, depth_min: float, depth_max: float,
-                          nlevel: int):
+                          nlevel: int, down: int = 1):
     """Consistency masks + fill-in + next-frame tracking pyramid (reference
     `EGGFusion.postprocess`, `system.py:51-81`, fused with the model-pyramid
-    build the reference redoes inside the tracker, `tracker.py:136-143`)."""
+    build the reference redoes inside the tracker, `tracker.py:136-143`).
+
+    `down` > 1 (Tracking.model_view_down): the rendered maps are already at
+    1/down resolution; the frame-side inputs are nearest-subsampled to match
+    and the tracking pyramid's base level is the 1/down view."""
+    if down > 1:
+        frame_map = {
+            k: (frame_map[k][::down, ::down] if hasattr(frame_map[k], "ndim")
+                and frame_map[k].ndim >= 2 else frame_map[k])
+            for k in ("normal_map_c", "depth_map", "color_map", "geo_mask")
+        }
+        intr = intr / down
     n1 = frame_map["normal_map_c"]
     n2 = rendered["render_normal"]
     cos = jnp.sum(n1 * n2, axis=-1) / (
@@ -139,6 +150,13 @@ class EGGFusion:
         self.depth_range_min = float(s.depth_range_min)
         self.depth_range_max = float(s.depth_range_max)
         self.nlevel = int(cfg.Tracking.pyramid_level)
+        # model-view downsample (Tracking.model_view_down, see config.py):
+        # the tracking/spawn model view renders at 1/down resolution; frames
+        # build `view_off` extra pyramid levels so the tracker can pair the
+        # model pyramid with the frame pyramid one octave down.
+        self.mv_down = int(cfg.Tracking.get("model_view_down", 1))
+        self.view_off = self.mv_down.bit_length() - 1
+        self.nlevel_frame = self.nlevel + self.view_off
 
         self.traj = {"ts": [], "ref": [], "est": []}
         self.metrics = []  # per-frame observability records
@@ -177,10 +195,15 @@ class EGGFusion:
         render_at = self.renderer.render_at
         nt, dt_, ot = self.reco_normal_thres, self.reco_depth_thres, self.reco_opacity_thres
         dmin, dmax, nlevel = self.depth_range_min, self.depth_range_max, self.nlevel
+        mv_down = self.mv_down
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def render_postprocess(s, frame_map: dict, w2c, intr, width: int, height: int):
-            out = render_at(_sf.render_params(s), w2c, intr, width, height,
+            # width/height are FULL frame size; the model view renders at
+            # 1/mv_down and postprocess_model_map subsamples the frame side
+            intr_r = intr / mv_down if mv_down > 1 else intr
+            out = render_at(_sf.render_params(s), w2c, intr_r,
+                            width // mv_down, height // mv_down,
                             need_grad=False)
             rendered = {
                 "render_color": out["color"],
@@ -189,7 +212,8 @@ class EGGFusion:
                 "render_opacity": out["opacity"],
             }
             return postprocess_model_map(
-                rendered, frame_map, intr, w2c, nt, dt_, ot, dmin, dmax, nlevel
+                rendered, frame_map, intr, w2c, nt, dt_, ot, dmin, dmax, nlevel,
+                down=mv_down,
             )
 
         self._render_postprocess = render_postprocess
@@ -234,12 +258,14 @@ class EGGFusion:
             mask=np.ones((H, W), np.float32),
             gt_pose_w2c=np.eye(4, dtype=np.float32),
             intr=_cal_intrinsics(self.cfg),
-            depth_scale=1.0, nlevel=self.nlevel, prefiltered=True,
+            depth_scale=1.0, nlevel=self.nlevel_frame, prefiltered=True,
         )
         f.update_transform_gt()
         eye = jnp.eye(4)
-        curr, _, _, _ = dense_track_pose(f.pyramid, f.pyramid, eye, eye, self.tracker.config,
-                                        self.tracker.mesh)
+        off = self.view_off  # model pyramid = frame pyramid one octave down
+        curr, _, _, _ = dense_track_pose(f.pyramid[off:], f.pyramid[off:], eye,
+                                         eye, self.tracker.config,
+                                         self.tracker.mesh)
         jax.block_until_ready(curr)
         if self._rot_sweep:
             # the recovery rotation sweep's coarse-only program — compile it
@@ -248,8 +274,8 @@ class EGGFusion:
             coarse_cfg = self.tracker.config._replace(
                 pyramid_level=1, pyramid_iters=(6,), solver_stride_fine=0)
             jax.block_until_ready(dense_track(
-                (f.pyramid[L - 1],), (f.pyramid[L - 1],), eye, coarse_cfg,
-                self.tracker.mesh)[0])
+                (f.pyramid[L - 1 + off],), (f.pyramid[L - 1 + off],), eye,
+                coarse_cfg, self.tracker.mesh)[0])
         if not full:
             return
 
@@ -292,10 +318,13 @@ class EGGFusion:
         the tracker to a freshly rendered model view."""
         intr = _cal_intrinsics(self.cfg)
         ia = jnp.asarray([intr.fx, intr.fy, intr.cx, intr.cy], jnp.float32)
-        out = self.mapper._render_model(self.mapper.surfels, w2c, ia, intr.width, intr.height)
+        d = self.mv_down
+        out = self.mapper._render_model(self.mapper.surfels, w2c, ia / d if d > 1 else ia,
+                                        intr.width // d, intr.height // d)
         opa = out["opacity"] > self.reco_opacity_thres
         pyramid = build_pyramid(
-            out["color"], out["depth"], opa.astype(jnp.float32), ia, nlevel=self.nlevel
+            out["color"], out["depth"], opa.astype(jnp.float32),
+            ia / d if d > 1 else ia, nlevel=self.nlevel
         )
         return {"transform": w2c, "pyramid": pyramid}
 
@@ -311,7 +340,7 @@ class EGGFusion:
             return 0
         L = self.tracker.config.pyramid_level
         pm = (self.model_map["pyramid"][L - 1],)
-        pf = (frame.pyramid[L - 1],)
+        pf = (frame.pyramid[L - 1 + self.view_off],)
         coarse_cfg = self.tracker.config._replace(
             pyramid_level=1, pyramid_iters=(6,), solver_stride_fine=0)
 
@@ -410,7 +439,13 @@ class EGGFusion:
             frame, self.frame_map,
             fail_streak=max(self.tracker._fail_streak, self.tracker.chronic_fails))
         t2 = _time.perf_counter()
-        if model_map is not None:
+        from eggfusion_tpu.core.mapper import KEEP_MODEL_MAP
+
+        if isinstance(model_map, str) and model_map == KEEP_MODEL_MAP:
+            # settled fuse-only frame (Mapping.settled_skip): keep tracking
+            # against the previous model view (one frame staler)
+            pass
+        elif model_map is not None:
             # fused path: the map update already rendered + postprocessed
             self.model_map = model_map
         else:

@@ -176,6 +176,31 @@ class TestOnlyMapping:
         np.testing.assert_allclose(est, ref, atol=1e-5)  # GT poses passed through
 
 
+class TestHalfModelView:
+    def test_model_view_down2(self, tmp_path):
+        """Tracking.model_view_down=2 (round 5b): the spawn/tracking model
+        view renders at half resolution and dense tracking pairs it with
+        the frame pyramid one octave down. The e2e contract must hold —
+        trajectory within the same bound as the full-res run — and the
+        model pyramid's base level must actually be half-size."""
+        cfg = _small_cfg(tmp_path, n_frames=8)
+        cfg.Tracking.model_view_down = 2
+        cfg.Tracking.solver_stride = 1  # half-res stride-1 ~= full-res stride-2
+        ef = run(cfg, verbose=False)
+        ref = np.asarray(ef.traj["ref"])[:, :3, 3]
+        est = np.asarray(ef.traj["est"])[:, :3, 3]
+        assert evalu.ate_rmse(ref, est) < 1.0
+        H = int(cfg.Dataset.Calibration.height)
+        W = int(cfg.Dataset.Calibration.width)
+        base = ef.model_map["pyramid"][0]
+        assert base.intensity.shape[:2] == (H // 2, W // 2)
+        # frames carry the extra level the tracker pairs against
+        assert ef.nlevel_frame == ef.nlevel + 1
+        # full-res eval renders are untouched by the half-res model view
+        metrics = ef.evaluate_render()
+        assert metrics["psnr"] > 12.0, metrics
+
+
 class TestBurstSchedule:
     def test_reference_exact_burst_schedule(self, tmp_path):
         """`opt_schedule: burst` is the reference-exact optimization cadence

@@ -164,6 +164,26 @@ def main():
         # worker (kernel fault, twice) — the knob exists but stride-3
         # full-res shapes are not TPU-safe on this stack; not adopted
         "stride3fine": ({**PROD_T, "solver_stride_fine": 3}, PROD_M),
+        # round 5b: model view at HALF resolution (Tracking.model_view_down
+        # 2). Tracking pairs the half-res model with the frame pyramid one
+        # octave down at stride 1, so the finest-level constraint count
+        # equals the shipped full-res stride-2 grid; the coverage render,
+        # postprocess and spawn mask run at 1/4 the pixels. The opt path
+        # (keyframe renders) stays full-res.
+        "halfview": ({**PROD_T, "model_view_down": 2, "solver_stride": 1},
+                     PROD_M),
+        # same, with the model-render slab doubled: at half resolution a
+        # sub-column spans 2x the scene width, so per-sub-column occupancy
+        # roughly doubles — cap 4096 keeps the per-sub capacity at the
+        # full-res cap-2048 equivalent (slab cost still halves: T/4 x 2).
+        "halfview4096": ({**PROD_T, "model_view_down": 2, "solver_stride": 1},
+                         PROD_M,
+                         {"raster_cap": 4096}),
+        # round 5b: settled-frame render skip — fuse-only frames (no model
+        # render, no spawn, tracker keeps the previous view) when lag-N
+        # surfel counts are flat and tracking is healthy, at most every
+        # other frame
+        "settledskip": (PROD_T, {**PROD_M, "settled_skip": True}),
     }
     which = [a for a in (os.environ.get("AB_ARMS", "fast,exact,burst").split(",")) if a]
 

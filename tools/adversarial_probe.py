@@ -79,6 +79,20 @@ ARMS = {
                        {"gate_fusion_on_tracking": False}),
 }
 
+# round 5b: half-resolution model view (Tracking.model_view_down=2 +
+# solver_stride 1 — equal finest-level constraint count). Any tracking
+# change must be priced on these arms, not only the benign 1280x704 A/B
+# (the [3,3,1] lesson, ACCURACY.md r5).
+_HV = {"model_view_down": 2, "solver_stride": 1}
+for _arm in ("clean_sway", "clean_handheld", "noise_only", "noisy_handheld",
+             "noisy_loop"):
+    _extra, _trk, *_rest = ARMS[_arm]
+    ARMS[f"{_arm}_halfview"] = (_extra, {**(_trk or {}), **_HV},
+                                *(_rest or [None]))
+    # settled-frame render skip (Mapping.settled_skip) on the same arms
+    _m = (_rest[0] if _rest else None) or {}
+    ARMS[f"{_arm}_skip"] = (_extra, _trk, {**_m, "settled_skip": True})
+
 
 def main():
     from eggfusion_tpu.utils.cache import enable_persistent_cache

@@ -48,8 +48,12 @@ def main():
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
         # production values (configs/base.yaml; DEFAULTS are reference parity)
         Mapping={"local_map_iter": 3, "opt_step_scale": 0.5},
-        Tracking={"pyramid_iters": [3, 3, 2]},
-        System={"save_dir": "results/profile_trace", "final_global_opt": False},
+        Tracking={"pyramid_iters": [3, 3, 2],
+                  **({"model_view_down": 2, "solver_stride": 1}
+                     if os.environ.get("BENCH_MVDOWN") == "2" else {})},
+        System={"save_dir": "results/profile_trace", "final_global_opt": False,
+                **({"raster_cap": int(os.environ["BENCH_RASTER_CAP"])}
+                   if os.environ.get("BENCH_RASTER_CAP") else {})},
     )
     dataset = load_dataset(cfg)
     ef = EGGFusion(cfg)
