@@ -176,7 +176,10 @@ DEFAULTS = {
         # uses the previous view, one frame staler. OFF here (the reference
         # renders every frame); the TPU-fast default is configs/base.yaml.
         "settled_skip": False,
-        "settled_skip_tol": 256,
+        "settled_skip_tol": 64,        # count-spread floor (absolute)
+        "settled_skip_tol_frac": 5.0e-4,  # ...and relative to map size
+        "settled_skip_max_rot": 0.3,   # deg/frame motion gate
+        "settled_skip_max_trans": 0.025,  # m/frame motion gate
         "cull_dist_thres": 0.0,
         "state_threshold": 30,
         "background": [1.0, 1.0, 1.0],

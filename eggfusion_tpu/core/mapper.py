@@ -368,10 +368,27 @@ class Mapping:
         # (one frame staler). OFF by default (reference renders every frame,
         # `mapper.py:260-264`); the TPU-fast value lives in configs/base.yaml.
         self.settled_skip = bool(m.get("settled_skip", False))
-        self.settled_skip_tol = int(m.get("settled_skip_tol", 256))
+        # spawn-activity gate: lag-N count spread must stay within
+        # max(tol, tol_frac * count) — ABSOLUTE floor for big settled maps,
+        # RELATIVE so toy-scale maps (adversarial probes at 320x240) with a
+        # noise-driven spawn trickle never qualify as settled (measured:
+        # a flat 256 let the noise arms skip, starve spawning 12.8k -> 7.5k
+        # and double ATE)
+        self.settled_skip_tol = int(m.get("settled_skip_tol", 64))
+        self.settled_skip_tol_frac = float(m.get("settled_skip_tol_frac", 5e-4))
+        # motion gate: staleness harm scales with inter-frame motion — skip
+        # only under slow motion (lag-N readback of the tracked per-frame
+        # pose delta). Measured: ungated, the clean rotation-burst arm
+        # regressed 2.4 -> 13.1 cm; the burst's 2 deg/frame is 10x this gate.
+        self.settled_skip_max_rot = float(m.get("settled_skip_max_rot", 0.3))
+        self.settled_skip_max_trans = float(m.get("settled_skip_max_trans", 0.025))
         self._skip_last = False
         self.render_skips = 0  # observability: settled fuse-only frames
         self._count_hist: deque = deque(maxlen=3)
+        self._prev_w2c_skip = None
+        self._mag_pending: deque = deque()  # (time, (2,) [deg, m] ref)
+        self._known_motion = None  # freshest consumed (deg, m)
+        self._known_motion_time = -10
         self.mcfg = MapperConfig(
             local_map_iter=int(m.local_map_iter),
             local_map_iter_init=int(m.local_map_iter_init),
@@ -1194,7 +1211,16 @@ class Mapping:
         h = self._count_hist
         if len(h) < h.maxlen or self._known_time < self.time - 3 * self.count_lag:
             return False
-        return max(h) - min(h) <= self.settled_skip_tol
+        tol = max(self.settled_skip_tol,
+                  int(self.settled_skip_tol_frac * self._known_count))
+        if max(h) - min(h) > tol:
+            return False
+        # motion gate: fresh reading, below the slow-motion thresholds
+        if (self._known_motion is None
+                or self._known_motion_time < self.time - 3 * self.count_lag):
+            return False
+        rot, trans = self._known_motion
+        return rot <= self.settled_skip_max_rot and trans <= self.settled_skip_max_trans
 
     def mapping(self, frame, frame_map: dict, fail_streak: int = 0) -> dict | None:
         """Per-frame mapping entry (reference `Mapping.mapping`,
@@ -1225,6 +1251,24 @@ class Mapping:
             self._pump_compiles()  # start any queued campaign (ADVICE r4)
         elif self.settled_skip:
             self._consume_counts()  # settledness signal without bucketing
+        if self.settled_skip:
+            # async per-frame pose-delta readback (motion gate; same lag-N
+            # pattern as counts — never blocks on device progress)
+            w2c_now = frame.w2c_matrix()
+            if self._prev_w2c_skip is not None:
+                mag = _relative_pose_mag(w2c_now, self._prev_w2c_skip)
+                try:
+                    mag.copy_to_host_async()
+                except Exception:
+                    pass
+                self._mag_pending.append((self.time, mag))
+            self._prev_w2c_skip = w2c_now
+            while (self._mag_pending
+                   and self._mag_pending[0][0] <= self.time - self.count_lag):
+                t, ref = self._mag_pending.popleft()
+                v = np.asarray(ref)
+                self._known_motion = (float(v[0]), float(v[1]))
+                self._known_motion_time = t
         # amortized schedule: EVERY frame's map update emits the fused model
         # map (1-2 opt steps per frame don't warrant the reference's
         # post-optimization re-render; the next frame tracks a view at most

@@ -479,6 +479,8 @@ class EGGFusion:
         # map-opt observability (VERDICT r4 #8): exact cumulative step count
         # + the freshest lag-N loss readback
         rec["opt_steps"] = self.mapper.opt_steps_total
+        if self.mapper.settled_skip:
+            rec["render_skips"] = self.mapper.render_skips
         ol = self.mapper.opt_losses
         if ol:
             t_loss = next(reversed(ol))

@@ -102,6 +102,8 @@ def one_run(name, tracking, mapping, width, height, n_frames, system=None):
         "wall_s": round(wall, 1),
         "steady_frame_ms": _r(steady_ms, 1),
         "surfels": int(ef.mapper.surfels.num_active()),
+        # settled-skip observability: how many frames actually skipped
+        "render_skips": int(getattr(ef.mapper, "render_skips", 0)),
     }
 
 
@@ -193,9 +195,10 @@ def main():
             rows = json.load(f)
     except Exception:
         rows = []
+    suffix = os.environ.get("AB_SUFFIX", "")  # e.g. "96" for longer runs
     for name in which:
         tracking, mapping, *sysrest = arms[name]
-        row = one_run(name, tracking, mapping, width, height, n_frames,
+        row = one_run(name + suffix, tracking, mapping, width, height, n_frames,
                       system=sysrest[0] if sysrest else None)
         rows = [r for r in rows if r.get("name") != name] + [row]
         print(json.dumps(row), flush=True)
