@@ -71,7 +71,11 @@ def main() -> None:
         # pairs with solver_stride 1 — equal finest constraint count)
         Tracking={"pyramid_iters": [3, 3, 2],
                   **({"model_view_down": 2, "solver_stride": 1}
-                     if os.environ.get("BENCH_MVDOWN") == "2" else {})},
+                     if os.environ.get("BENCH_MVDOWN") == "2" else {}),
+                  # BENCH_STRIDE_FINE=N benches a finest-level constraint
+                  # stride override (A/B experiments)
+                  **({"solver_stride_fine": int(os.environ["BENCH_STRIDE_FINE"])}
+                     if os.environ.get("BENCH_STRIDE_FINE") else {})},
         # capacity bucketing ON (the production default): the surfel SoA is
         # sized to the smallest power-of-two bucket that holds the live map
         # (262k here — frame 0's init spawn lands inside the init bucket and
@@ -82,7 +86,9 @@ def main() -> None:
         # 24 ms, opt_step 57 -> 41 ms, bin_cache 17 -> 7.5 ms.
         System={"save_dir": "results/bench", "final_global_opt": False,
                 **({"raster_cap": int(os.environ["BENCH_RASTER_CAP"])}
-                   if os.environ.get("BENCH_RASTER_CAP") else {})},
+                   if os.environ.get("BENCH_RASTER_CAP") else {}),
+                **({"bilateral_mode": os.environ["BENCH_BILATERAL"]}
+                   if os.environ.get("BENCH_BILATERAL") else {})},
     )
 
     dataset = load_dataset(cfg)

@@ -211,6 +211,11 @@ DEFAULTS = {
         "reco_opacity_threshold": 0.8,
         "depth_range_min": 0.1,
         "depth_range_max": 5.0,
+        # depth bilateral-filter variant: "exact" = the reference's full
+        # 13x13 window (`tracking.cu:777-848`); "separable" = row+column
+        # approximation (26 taps vs 169). DEFAULT stays reference parity;
+        # the TPU-tuned value lives in configs/base.yaml once priced.
+        "bilateral_mode": "exact",
         "seed": 0,
     },
 }

@@ -18,28 +18,36 @@ from eggfusion_tpu.ops import image as imops
 from eggfusion_tpu.ops.pyramid import build_pyramid
 
 
-@functools.partial(jax.jit, static_argnames=("nlevel",))
-def prepare_frame_inputs(color_u8, depth_raw, mask, depth_scale: jnp.ndarray, nlevel: int = 3):
+@functools.partial(jax.jit, static_argnames=("nlevel", "bilateral"))
+def prepare_frame_inputs(color_u8, depth_raw, mask, depth_scale: jnp.ndarray, nlevel: int = 3,
+                         bilateral: str = "exact"):
     """Normalize color, scale + bilateral-filter depth, and build the pyramid.
 
     Matches `Frame.__init__` (`frame.py:126-146`): color/255, depth/scale then
-    bilateral (13, 0.03, 4.5), 3-level pyramid.
+    bilateral (13, 0.03, 4.5), 3-level pyramid. `bilateral` selects the
+    filter variant (System.bilateral_mode): "exact" = the reference's full
+    13x13 window, "separable" = row+column approximation (26 taps vs 169 —
+    the full-res depth filter is ~2.9 ms/frame of the TPU budget).
     Returns (color f32 (H, W, 3), depth f32 (H, W, 1), mask f32, pyramid).
     """
     color = color_u8.astype(jnp.float32) / 255.0
     depth = depth_raw.astype(jnp.float32) / depth_scale
     if depth.ndim == 2:
         depth = depth[..., None]
-    depth = imops.bilateral_filter(depth, 13, 0.03, 4.5)
+    bilat = (imops.bilateral_filter_separable if bilateral == "separable"
+             else imops.bilateral_filter)
+    depth = bilat(depth, 13, 0.03, 4.5)
     mask = mask.astype(jnp.float32)
     if mask.ndim == 2:
         mask = mask[..., None]
     return color, depth, mask
 
 
-@jax.jit
-def _bilateral_jit(depth):
-    return imops.bilateral_filter(depth, 13, 0.03, 4.5)
+@functools.partial(jax.jit, static_argnames=("bilateral",))
+def _bilateral_jit(depth, bilateral: str = "exact"):
+    bilat = (imops.bilateral_filter_separable if bilateral == "separable"
+             else imops.bilateral_filter)
+    return bilat(depth, 13, 0.03, 4.5)
 
 
 @functools.lru_cache(maxsize=8)
@@ -61,7 +69,8 @@ class Frame:
     def __init__(self, uid: int, ts: float, color_u8: np.ndarray, depth_raw: np.ndarray,
                  mask: np.ndarray, gt_pose_w2c: np.ndarray, intr: cam.CameraIntrinsics,
                  depth_scale: float, nlevel: int = 3, projmat: np.ndarray | None = None,
-                 prefiltered: bool = False, filter_depth: bool = False):
+                 prefiltered: bool = False, filter_depth: bool = False,
+                 bilateral: str = "exact"):
         self.uid = uid
         self.ts = float(ts)
         self.intrinsics = intr
@@ -87,16 +96,17 @@ class Frame:
             d = jnp.asarray(depth_raw, jnp.float32)
             d = d if d.ndim == 3 else d[..., None]
             if filter_depth:
-                d = _bilateral_jit(d)
+                d = _bilateral_jit(d, bilateral)
             self.depth = d
             m = jnp.asarray(mask, jnp.float32)
             self.mask = m if m.ndim == 3 else m[..., None]
         else:
             self.color, self.depth, self.mask = prepare_frame_inputs(
                 jnp.asarray(color_u8), jnp.asarray(depth_raw), jnp.asarray(mask),
-                jnp.asarray(depth_scale, jnp.float32), nlevel,
+                jnp.asarray(depth_scale, jnp.float32), nlevel, bilateral,
             )
-        self.pyramid = build_pyramid(self.color, self.depth, self.mask, self.intr, nlevel=nlevel)
+        self.pyramid = build_pyramid(self.color, self.depth, self.mask, self.intr, nlevel=nlevel,
+                                     bilateral=bilateral)
 
     # ---- poses --------------------------------------------------------------
     # matrices are cached per update: w2c/c2w are read several times per frame

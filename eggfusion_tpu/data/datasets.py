@@ -471,6 +471,9 @@ def load_dataset(config, test: bool = False) -> RGBDDataset:
     t = config.get("Tracking", {})
     down = int(t.get("model_view_down", 1))
     ds.frame_nlevel = int(t.get("pyramid_level", 3)) + (down.bit_length() - 1)
+    # depth bilateral-filter variant (System.bilateral_mode): "exact" =
+    # reference 13x13 window; "separable" = row+column approximation
+    ds.bilateral_mode = str(config.get("System", {}).get("bilateral_mode", "exact"))
     if bool(config.Dataset.get("preload", True)):
         ds.start_prefetch()
     return ds

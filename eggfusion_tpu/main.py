@@ -21,6 +21,7 @@ def build_frame(dataset, fid: int, preload: bool, nlevel: int = 3):
     # `load_dataset` stamps the pyramid depth the tracker needs (extra
     # levels when Tracking.model_view_down > 1) so every caller inherits it
     nlevel = getattr(dataset, "frame_nlevel", nlevel)
+    bilateral = getattr(dataset, "bilateral_mode", "exact")
 
     ts, color, depth, mask, gt_pose = dataset.get_buffer_frame() if preload else dataset[fid]
     if isinstance(mask, np.ndarray):
@@ -37,12 +38,12 @@ def build_frame(dataset, fid: int, preload: bool, nlevel: int = 3):
             uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
             gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
             projmat=dataset.projmat, prefiltered=True, filter_depth=True,
-            nlevel=nlevel,
+            nlevel=nlevel, bilateral=bilateral,
         )
     return Frame(
         uid=fid, ts=ts, color_u8=color, depth_raw=depth, mask=mask,
         gt_pose_w2c=gt_pose, intr=dataset.intrinsics, depth_scale=dataset.depth_scale,
-        projmat=dataset.projmat, nlevel=nlevel,
+        projmat=dataset.projmat, nlevel=nlevel, bilateral=bilateral,
     )
 
 

@@ -59,10 +59,14 @@ def _grad3(gray: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([gx, gy, mag], axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("nlevel",))
-def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, mask: jnp.ndarray, intr: jnp.ndarray, nlevel: int = 3) -> Pyramid:
+@functools.partial(jax.jit, static_argnames=("nlevel", "bilateral"))
+def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, mask: jnp.ndarray, intr: jnp.ndarray, nlevel: int = 3, bilateral: str = "exact") -> Pyramid:
     """Build an `nlevel` pyramid from (H, W, 3) color, (H, W, 1) depth,
     (H, W, 1) float mask and (4,) intrinsics. All on device, one XLA program.
+
+    `bilateral` selects the per-level depth re-filter variant
+    (System.bilateral_mode): "exact" = the reference's 13x13 window,
+    "separable" = the standard row+column approximation (26 taps vs 169).
     """
     gray = _gray(color)
     vmap, nmap = imops.compute_vertex_and_normal(depth, intr)
@@ -88,7 +92,9 @@ def build_pyramid(color: jnp.ndarray, depth: jnp.ndarray, mask: jnp.ndarray, int
     for l in range(1, nlevel):
         gray_l = imops.gaussian_downsample(gray_l)
         depth_l = imops.gaussian_downsample(depth_l)
-        depth_l = imops.bilateral_filter(depth_l, 13, 0.03, 4.5)
+        bilat = (imops.bilateral_filter_separable if bilateral == "separable"
+                 else imops.bilateral_filter)
+        depth_l = bilat(depth_l, 13, 0.03, 4.5)
         mask_l = imops.gaussian_downsample(mask_l)
         vmap_l = imops.gaussian_downsample(vmap_l)
         nmap_l = imops.gaussian_downsample(nmap_l)

@@ -166,6 +166,16 @@ def main():
         # worker (kernel fault, twice) — the knob exists but stride-3
         # full-res shapes are not TPU-safe on this stack; not adopted
         "stride3fine": ({**PROD_T, "solver_stride_fine": 3}, PROD_M),
+        # round 5c: finest level at stride 4 (power-of-two shapes, unlike
+        # the crashing stride 3): level-0 gathers drop to 1/4 of the
+        # shipped stride-2 grid — the single biggest dense_track cost
+        "stride4fine": ({**PROD_T, "solver_stride_fine": 4}, PROD_M),
+        # round 5c: separable bilateral depth filter (26 taps vs the
+        # reference-exact 169) — the full-res depth filter is ~2.9 ms/frame
+        "bilatsep": (PROD_T, PROD_M, {"bilateral_mode": "separable"}),
+        # round 5c: the combined candidate production config
+        "r5c": ({**PROD_T, "solver_stride_fine": 4}, PROD_M,
+                {"bilateral_mode": "separable"}),
         # round 5b: model view at HALF resolution (Tracking.model_view_down
         # 2). Tracking pairs the half-res model with the frame pyramid one
         # octave down at stride 1, so the finest-level constraint count

@@ -19,30 +19,44 @@ NOISE = {"depth_sigma0": 0.001, "depth_sigma2": 0.0015, "depth_quant": 0.002,
          "edge_dropout_px": 1, "dropout_frac": 0.005, "color_sigma": 0.02}
 
 
-def one(name, dataset_extra, tracking=None, n_frames=40, mapping=None):
+def one(name, dataset_extra, tracking=None, n_frames=40, mapping=None, system=None):
     import numpy as np
 
     from eggfusion_tpu import config as cfglib
     from eggfusion_tpu.main import run
     from eggfusion_tpu.utils import eval as evalu
 
+    # PROBE_RES=WxHxF overrides the 320x240 default (e.g. 1280x704x600 —
+    # the production bench optics) for pricing resolution-sensitive knobs
+    # like solver_stride_fine at the resolution they actually ship at.
+    # PROBE_SUFFIX names the rows so they don't clobber the 320x240 record.
+    res = os.environ.get("PROBE_RES", "")
+    if res:
+        w, h, f = (int(x) for x in res.split("x"))
+    else:
+        w, h, f = 320, 240, 300
+    name = name + os.environ.get("PROBE_SUFFIX", "")
     cfg = cfglib.default_config(
         Dataset={
             "type": "synthetic", "n_frames": n_frames, "preload": False,
-            "device_frames": False,
+            # host-feed at 320x240 (exercises the upload path); the tunnel
+            # TPU's host->device bandwidth makes host-feed at production
+            # resolutions minutes-per-frame, so PROBE_RES runs feed on-device
+            "device_frames": bool(res),
             "Calibration": {
-                "fx": 300.0, "fy": 300.0, "cx": 159.5, "cy": 119.5,
-                "width": 320, "height": 240, "depth_scale": 1.0,
+                "fx": float(f), "fy": float(f), "cx": w / 2 - 0.5, "cy": h / 2 - 0.5,
+                "width": w, "height": h, "depth_scale": 1.0,
             },
             **dataset_extra,
         },
-        Viewer={"max_surfels_num": 120_000},
+        Viewer={"max_surfels_num": 120_000 if not res else 600_000},
         Surfel={"max_sh_degree": 0, "active_sh_degree": 0},
         # shipped production values (configs/base.yaml) — DEFAULTS are
         # reference parity since r5, so the probe states them explicitly
         Tracking={"pyramid_iters": [3, 3, 2], **(tracking or {})},
         Mapping={"opt_step_scale": 0.5, **(mapping or {})},
-        System={"save_dir": f"results/advprobe_{name}", "final_global_opt": False},
+        System={"save_dir": f"results/advprobe_{name}", "final_global_opt": False,
+                **(system or {})},
     )
     ef = run(cfg, verbose=False)
     ref = ef._traj_np("ref")[:, :3, 3]
@@ -77,6 +91,35 @@ ARMS = {
     "noise_steps0667": ({"noise": NOISE}, None, {"opt_step_scale": 0.667}),
     "noisyhh_nogate": ({"trajectory": "handheld", "noise": NOISE}, None,
                        {"gate_fusion_on_tracking": False}),
+    # round 5c: finest-level constraint stride 4 (tracking-cost lever) —
+    # any tracking change must be priced here, not only on the benign
+    # 1280x704 A/B (the [3,3,1] lesson). At 320x240 this thins level 0 to
+    # an 80x60 grid, a deliberately harsher regime than production.
+    "noise_stride4": ({"noise": NOISE}, {"solver_stride_fine": 4}, None),
+    "noisyhh_stride4": ({"trajectory": "handheld", "noise": NOISE},
+                        {"solver_stride_fine": 4}, None),
+    "clean_handheld_stride4": ({"trajectory": "handheld"},
+                               {"solver_stride_fine": 4}, None),
+    # round 5c: separable bilateral depth filter under Kinect-law noise —
+    # the depth filter's whole job is exactly this regime
+    "noise_bilatsep": ({"noise": NOISE}, None, None,
+                       {"bilateral_mode": "separable"}),
+    "noisyhh_bilatsep": ({"trajectory": "handheld", "noise": NOISE}, None,
+                         None, {"bilateral_mode": "separable"}),
+    # the combined round-5c candidate production config
+    "noisyhh_r5c": ({"trajectory": "handheld", "noise": NOISE},
+                    {"solver_stride_fine": 4}, None,
+                    {"bilateral_mode": "separable"}),
+    "noise_r5c": ({"noise": NOISE}, {"solver_stride_fine": 4}, None,
+                  {"bilateral_mode": "separable"}),
+    "clean_handheld_r5c": ({"trajectory": "handheld"},
+                           {"solver_stride_fine": 4}, None,
+                           {"bilateral_mode": "separable"}),
+    "noisy_loop_r5c": ({"trajectory": "loop", "noise": NOISE},
+                       {"solver_stride_fine": 4}, None,
+                       {"bilateral_mode": "separable"}),
+    "clean_sway_r5c": ({}, {"solver_stride_fine": 4}, None,
+                       {"bilateral_mode": "separable"}),
 }
 
 # round 5b: half-resolution model view (Tracking.model_view_down=2 +
@@ -107,7 +150,9 @@ def main():
         rows = []
     for name in which:
         extra, tracking, *rest = ARMS[name]
-        row = one(name, extra, tracking, mapping=rest[0] if rest else None)
+        row = one(name, extra, tracking,
+                  mapping=rest[0] if rest else None,
+                  system=rest[1] if len(rest) > 1 else None)
         rows = [r for r in rows if r.get("name") != name] + [row]
         with open("results/adversarial_probe.json", "w") as f:
             json.dump(rows, f, indent=2)
