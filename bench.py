@@ -70,12 +70,16 @@ def main() -> None:
         # BENCH_MVDOWN=2 benches the half-res model view (A/B experiments;
         # pairs with solver_stride 1 — equal finest constraint count)
         Tracking={"pyramid_iters": [3, 3, 2],
+                  # round-5c production value (configs/base.yaml): finest
+                  # level at stride 4 — priced at this resolution by the
+                  # production-optics adversarial probe + the benign A/B
+                  "solver_stride_fine": 4,
                   **({"model_view_down": 2, "solver_stride": 1}
                      if os.environ.get("BENCH_MVDOWN") == "2" else {}),
-                  # BENCH_STRIDE_FINE=N benches a finest-level constraint
-                  # stride override (A/B experiments)
+                  # BENCH_STRIDE_FINE=N overrides the finest-level stride
+                  # (A/B experiments; 0 = use solver_stride everywhere)
                   **({"solver_stride_fine": int(os.environ["BENCH_STRIDE_FINE"])}
-                     if os.environ.get("BENCH_STRIDE_FINE") else {})},
+                     if os.environ.get("BENCH_STRIDE_FINE") is not None else {})},
         # capacity bucketing ON (the production default): the surfel SoA is
         # sized to the smallest power-of-two bucket that holds the live map
         # (262k here — frame 0's init spawn lands inside the init bucket and
@@ -85,6 +89,10 @@ def main() -> None:
         # Measured (tools/profile_phases.py, 600k -> 262k): map_update 41 ->
         # 24 ms, opt_step 57 -> 41 ms, bin_cache 17 -> 7.5 ms.
         System={"save_dir": "results/bench", "final_global_opt": False,
+                # round-5c production value (configs/base.yaml): separable
+                # bilateral depth filter (priced: benign A/B exact parity,
+                # production-optics noise probes improve)
+                "bilateral_mode": "separable",
                 **({"raster_cap": int(os.environ["BENCH_RASTER_CAP"])}
                    if os.environ.get("BENCH_RASTER_CAP") else {}),
                 **({"bilateral_mode": os.environ["BENCH_BILATERAL"]}

@@ -491,6 +491,9 @@ class Mapping:
             "depth_min": float(cfg.System.depth_range_min),
             "depth_max": float(cfg.System.depth_range_max),
             "nlevel": int(cfg.Tracking.pyramid_level),
+            # depth bilateral-filter variant for the model-view pyramid's
+            # per-level re-filter (System.bilateral_mode)
+            "bilateral": str(cfg.System.get("bilateral_mode", "exact")),
         }
         # capacity bucketing: start in a small bucket and grow geometrically
         # (see `sf.grow_surfels`). Per-frame program cost then tracks the
@@ -735,6 +738,7 @@ class Mapping:
                         sys_cfg["reco_normal_thres"], sys_cfg["reco_depth_thres"],
                         sys_cfg["reco_opacity_thres"], sys_cfg["depth_min"],
                         sys_cfg["depth_max"], sys_cfg["nlevel"], down=down,
+                        bilateral=sys_cfg["bilateral"],
                     )
             else:
                 sample_mask = depth > 0

@@ -84,11 +84,11 @@ def preprocess_frame_map(color, depth, vmap, nmap, mask, intr, w2c, reco_normal_
     }
 
 
-@functools.partial(jax.jit, static_argnames=("reco_normal_thres", "reco_depth_thres", "reco_opacity_thres", "depth_min", "depth_max", "nlevel", "down"))
+@functools.partial(jax.jit, static_argnames=("reco_normal_thres", "reco_depth_thres", "reco_opacity_thres", "depth_min", "depth_max", "nlevel", "down", "bilateral"))
 def postprocess_model_map(rendered: dict, frame_map: dict, intr, w2c,
                           reco_normal_thres: float, reco_depth_thres: float,
                           reco_opacity_thres: float, depth_min: float, depth_max: float,
-                          nlevel: int, down: int = 1):
+                          nlevel: int, down: int = 1, bilateral: str = "exact"):
     """Consistency masks + fill-in + next-frame tracking pyramid (reference
     `EGGFusion.postprocess`, `system.py:51-81`, fused with the model-pyramid
     build the reference redoes inside the tracker, `tracker.py:136-143`).
@@ -121,7 +121,8 @@ def postprocess_model_map(rendered: dict, frame_map: dict, intr, w2c,
     color = jnp.where(valid[..., None], rendered["render_color"], frame_map["color_map"])
     depth = jnp.where(valid[..., None], rendered["render_depth"], frame_map["depth_map"])
 
-    pyramid = build_pyramid(color, depth, opacity_mask[..., None].astype(jnp.float32), intr, nlevel=nlevel)
+    pyramid = build_pyramid(color, depth, opacity_mask[..., None].astype(jnp.float32), intr, nlevel=nlevel,
+                            bilateral=bilateral)
     return {
         "rendered_color": color,
         "rendered_depth": depth,
@@ -196,6 +197,7 @@ class EGGFusion:
         nt, dt_, ot = self.reco_normal_thres, self.reco_depth_thres, self.reco_opacity_thres
         dmin, dmax, nlevel = self.depth_range_min, self.depth_range_max, self.nlevel
         mv_down = self.mv_down
+        bilat = str(self.cfg.System.get("bilateral_mode", "exact"))
 
         @functools.partial(jax.jit, static_argnames=("width", "height"))
         def render_postprocess(s, frame_map: dict, w2c, intr, width: int, height: int):
@@ -213,7 +215,7 @@ class EGGFusion:
             }
             return postprocess_model_map(
                 rendered, frame_map, intr, w2c, nt, dt_, ot, dmin, dmax, nlevel,
-                down=mv_down,
+                down=mv_down, bilateral=bilat,
             )
 
         self._render_postprocess = render_postprocess
